@@ -1,0 +1,525 @@
+"""Jittable articulated rigid-body dynamics engine.
+
+TPU-native replacement for the MuJoCo 1.31 C pipeline the reference drives
+through ctypes (`mj_step`/`mj_forward`, reference mujoco_py/mjcore.py:48-86).
+One env step is one pure function `step(model, mm, state, ctrl)`; thousands of
+env instances run in lockstep under `jax.vmap`, and across chips the batch
+axis is sharded with pjit/shard_map (see parallel/).
+
+Pipeline per step (all world-frame Pluecker spatial algebra, about origin):
+  1. forward kinematics -> body frames, per-dof motion subspace `cdof`
+  2. body spatial velocities, bias forces (RNE), mass matrix (CRBA)
+  3. narrow-phase collisions on a static candidate-pair list
+  4. soft-constraint assembly (contacts + joint limits, MuJoCo solref/solimp
+     impedance model) and projected Gauss-Seidel
+  5. semi-implicit Euler with implicit joint damping, or RK4
+
+The static tree structure lives in numpy inside `PhysicsModel`; loops over
+bodies/joints unroll at trace time, so XLA sees straight-line code over small
+dense tensors — MXU-friendly batched matmuls once vmapped.
+"""
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from learning_to_adapt_tpu.physics import collision as coll
+from learning_to_adapt_tpu.physics import maths
+from learning_to_adapt_tpu.physics.spec import (
+    BOX, CAPSULE, EULER, FREE, HFIELD, HINGE, PLANE, RK4, SLIDE, SPHERE,
+    MutableModel, PhysicsModel)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PhysicsState:
+    qpos: Any  # (nq,)
+    qvel: Any  # (nv,)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ForwardData:
+    """Quantities derived from (qpos, qvel) that envs read for obs/reward.
+    Mirrors the mjData fields the reference touches: xpos/xmat
+    (mujoco_env.py:209-219), com_subtree (mjcore.py:54-83 `body_comvels`)."""
+    xpos: Any           # (nbody,3) body frame origins, world
+    xquat: Any          # (nbody,4)
+    ximat: Any          # (nbody,3,3) rotation matrices
+    subtree_com: Any    # (nbody,3)
+    subtree_comvel: Any # (nbody,3)
+    qfrc_actuator: Any  # (nv,)
+
+
+def _fk(model: PhysicsModel, mm: MutableModel, qpos):
+    """Forward kinematics. Returns xpos (nbody,3), xquat (nbody,4),
+    cdof (nv,6) world-frame motion subspaces."""
+    dtype = qpos.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    xpos = [jnp.zeros(3, dtype)]
+    xquat = [jnp.array([1., 0., 0., 0.], dtype)]
+    cdof = [None] * model.nv
+
+    # joints grouped per body in definition order
+    body_joints = [[] for _ in range(model.nbody)]
+    for ji in range(model.njnt):
+        body_joints[int(model.jnt_body[ji])].append(ji)
+
+    for b in range(1, model.nbody):
+        p = int(model.body_parent[b])
+        pos = xpos[p] + maths.quat_rotate(
+            xquat[p], jnp.asarray(model.body_pos[b], dtype))
+        quat = maths.quat_mul(xquat[p], jnp.asarray(model.body_quat[b], dtype))
+        for ji in body_joints[b]:
+            jt = int(model.jnt_type[ji])
+            qadr = int(model.jnt_qposadr[ji])
+            dadr = int(model.jnt_dofadr[ji])
+            if jt == FREE:
+                pos = qpos[qadr:qadr + 3]
+                quat = maths.quat_normalize(qpos[qadr + 3:qadr + 7])
+                r = maths.quat_to_mat(quat)
+                for k in range(3):  # translational dofs, world axes
+                    cdof[dadr + k] = jnp.concatenate(
+                        [jnp.zeros(3, dtype), eye3[k]])
+                for k in range(3):  # rotational dofs, body-local axes
+                    axis_w = r[:, k]
+                    cdof[dadr + 3 + k] = jnp.concatenate(
+                        [axis_w, jnp.cross(pos, axis_w)])
+            elif jt == SLIDE:
+                axis_l = jnp.asarray(model.jnt_axis[ji], dtype)
+                axis_w = maths.quat_rotate(quat, axis_l)
+                pos = pos + axis_w * (qpos[qadr] - model.jnt_ref[ji])
+                cdof[dadr] = jnp.concatenate([jnp.zeros(3, dtype), axis_w])
+            elif jt == HINGE:
+                axis_l = jnp.asarray(model.jnt_axis[ji], dtype)
+                axis_w = maths.quat_rotate(quat, axis_l)
+                anchor_w = pos + maths.quat_rotate(
+                    quat, jnp.asarray(model.jnt_pos[ji], dtype))
+                angle = qpos[qadr] - model.jnt_ref[ji]
+                quat = maths.quat_mul(
+                    quat, maths.axis_angle_to_quat(axis_l, angle))
+                pos = anchor_w - maths.quat_rotate(
+                    quat, jnp.asarray(model.jnt_pos[ji], dtype))
+                cdof[dadr] = jnp.concatenate(
+                    [axis_w, jnp.cross(anchor_w, axis_w)])
+            else:
+                raise ValueError(f'joint type {jt}')
+        xpos.append(pos)
+        xquat.append(quat)
+
+    cdof = (jnp.stack(cdof) if model.nv else jnp.zeros((0, 6), dtype))
+    return jnp.stack(xpos), jnp.stack(xquat), cdof
+
+
+def _geom_frames(model, mm, xpos, ximat):
+    """World frames of all geoms. geom_pos is runtime (Ant crippling moves
+    geoms, reference ant_env.py:141-188)."""
+    b = model.geom_body
+    gpos = xpos[b] + jnp.einsum('gij,gj->gi', ximat[b], mm.geom_pos)
+    gq = jnp.asarray(model.geom_quat, gpos.dtype)
+    gmat = ximat[b] @ maths.quat_to_mat(gq)
+    return gpos, gmat
+
+
+def _mass_properties(model, mm, xpos, xquat, ximat):
+    """World COM positions and world-frame spatial inertias per body."""
+    dtype = xpos.dtype
+    ipos = jnp.asarray(model.body_ipos, dtype)
+    xipos = xpos + jnp.einsum('bij,bj->bi', ximat, ipos)
+    inertia_l = jnp.asarray(model.body_inertia, dtype)
+    inertia_w = ximat @ inertia_l @ jnp.swapaxes(ximat, -1, -2)
+    ispatial = maths.spatial_inertia(mm.body_mass, xipos, inertia_w)
+    return xipos, ispatial
+
+
+def _contacts(model: PhysicsModel, mm: MutableModel, gpos, gmat):
+    """Run all narrow-phase kernels over the static pair list.
+
+    Returns per-candidate arrays: dist (n,), pos (n,3), normal (n,3) plus
+    static numpy metadata (body1, body2, mu, solref, solimp, margin, condim).
+    """
+    dists, poss, normals = [], [], []
+    meta = dict(body1=[], body2=[], mu=[], solref=[], solimp=[], margin=[],
+                condim=[])
+
+    def push_meta(g1, g2, n_pts):
+        for _ in range(n_pts):
+            meta['body1'].append(int(model.geom_body[g1]))
+            meta['body2'].append(int(model.geom_body[g2]))
+            meta['mu'].append(max(model.geom_friction[g1][0],
+                                  model.geom_friction[g2][0]))
+            meta['solref'].append(0.5 * (model.geom_solref[g1] +
+                                         model.geom_solref[g2]))
+            meta['solimp'].append(0.5 * (model.geom_solimp[g1] +
+                                         model.geom_solimp[g2]))
+            meta['margin'].append(max(model.geom_margin[g1],
+                                      model.geom_margin[g2]))
+            meta['condim'].append(max(int(model.geom_condim[g1]),
+                                      int(model.geom_condim[g2])))
+
+    for kind, pairs in model.pair_groups:
+        for g1, g2 in pairs:
+            g1, g2 = int(g1), int(g2)
+            s1 = mm.geom_size[g1]
+            s2 = mm.geom_size[g2]
+            if kind == 'plane_sphere':
+                d, p, n = coll.plane_sphere(gpos[g1], gmat[g1], gpos[g2], s2[0])
+            elif kind == 'plane_capsule':
+                d, p, n = coll.plane_capsule(gpos[g1], gmat[g1], gpos[g2],
+                                             gmat[g2], s2[0], s2[1])
+            elif kind == 'hfield_sphere':
+                d, p, n = coll.hfield_sphere(gpos[g1], mm.hfield_size,
+                                             mm.hfield_row, gpos[g2], s2[0])
+            elif kind == 'hfield_capsule':
+                d, p, n = coll.hfield_capsule(gpos[g1], mm.hfield_size,
+                                              mm.hfield_row, gpos[g2],
+                                              gmat[g2], s2[0], s2[1])
+            elif kind == 'sphere_sphere':
+                d, p, n = coll.sphere_sphere(gpos[g1], s1[0], gpos[g2], s2[0])
+            elif kind == 'sphere_capsule':
+                d, p, n = coll.sphere_capsule(gpos[g1], s1[0], gpos[g2],
+                                              gmat[g2], s2[0], s2[1])
+            elif kind == 'capsule_capsule':
+                d, p, n = coll.capsule_capsule(gpos[g1], gmat[g1], s1[0], s1[1],
+                                               gpos[g2], gmat[g2], s2[0], s2[1])
+            elif kind == 'capsule_box':
+                d, p, n = coll.capsule_box(gpos[g1], gmat[g1], s1[0], s1[1],
+                                           gpos[g2], gmat[g2], s2[:3])
+            elif kind == 'sphere_box':
+                d, p, n = coll.sphere_box(gpos[g1], s1[0], gpos[g2], gmat[g2],
+                                          s2[:3])
+            else:
+                raise ValueError(kind)
+            dists.append(d)
+            poss.append(p)
+            normals.append(n)
+            push_meta(g1, g2, d.shape[0])
+
+    if not dists:
+        z = jnp.zeros((0,), gpos.dtype)
+        return z, z.reshape(0, 3), z.reshape(0, 3), {
+            k: np.zeros((0,) + np.shape(v[:1])[1:]) for k, v in meta.items()}
+    meta = {k: np.asarray(v) for k, v in meta.items()}
+    return (jnp.concatenate(dists), jnp.concatenate(poss),
+            jnp.concatenate(normals), meta)
+
+
+def _point_jacobian(model, cdof, body, point):
+    """(nv,3) jacobian of world `point` fixed to `body`."""
+    lin = cdof[:, 3:] + jnp.cross(cdof[:, :3], point[None, :])
+    mask = jnp.asarray(model.body_dof[body], lin.dtype)
+    return lin * mask[:, None]
+
+
+def _impedance(solimp, r):
+    """MuJoCo impedance d(r) in (0,1): rises dmin->dmax over `width` of
+    penetration. r <= 0 when violated."""
+    dmin, dmax, width = solimp[..., 0], solimp[..., 1], solimp[..., 2]
+    x = jnp.clip(-r / jnp.maximum(width, 1e-10), 0.0, 1.0)
+    s = x * x * (3.0 - 2.0 * x)  # smoothstep
+    return jnp.clip(dmin + (dmax - dmin) * s, 1e-4, 1.0 - 1e-6)
+
+
+def _kb(solref, d):
+    """Stiffness/damping of the virtual constraint spring (MuJoCo solref
+    semantics: (timeconst, dampratio))."""
+    tc, dr = solref[..., 0], solref[..., 1]
+    dmax = 1.0  # normalized: k formula uses d_width(=dmax of solimp) ~ handled via d
+    b = 2.0 / jnp.maximum(tc, 1e-8)
+    k = d / jnp.maximum(tc * tc * dr * dr, 1e-10)
+    return k, b
+
+
+def _tangent_frame(n):
+    """Two unit tangents orthogonal to n, branch-free."""
+    ref = jnp.where(jnp.abs(n[..., 0:1]) < 0.5,
+                    jnp.broadcast_to(jnp.array([1., 0., 0.], n.dtype), n.shape),
+                    jnp.broadcast_to(jnp.array([0., 1., 0.], n.dtype), n.shape))
+    t1 = jnp.cross(n, ref)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def smooth_dynamics(model: PhysicsModel, mm: MutableModel, state: PhysicsState,
+                    ctrl):
+    """Everything except constraints: returns (M, qfrc_smooth, aux dict)."""
+    dtype = state.qpos.dtype
+    qpos, qvel = state.qpos, state.qvel
+
+    xpos, xquat, cdof = _fk(model, mm, qpos)
+    ximat = maths.quat_to_mat(xquat)
+    xipos, ispatial = _mass_properties(model, mm, xpos, xquat, ximat)
+
+    body_dof = jnp.asarray(model.body_dof, dtype)      # (nbody, nv)
+    body_anc = jnp.asarray(model.body_ancestor, dtype) # (nbody, nbody)
+
+    # body spatial velocities
+    vel_dof = cdof * qvel[:, None]                     # (nv,6)
+    body_vel = body_dof @ vel_dof                      # (nbody,6)
+
+    # bias accelerations & forces (RNE with qacc=0, gravity as base accel).
+    # d(cdof)/dt = v x cdof with v the velocity of the frame the dof's axis is
+    # fixed in: the child body for hinge and free-rotational dofs, the parent
+    # frame for slide and free-translational dofs (axes do not rotate with the
+    # child). Using the child for all dofs produces a spurious -m*(w x v)
+    # force on spinning free bodies.
+    a_grav = jnp.concatenate([jnp.zeros(3, dtype),
+                              -jnp.asarray(model.gravity, dtype)])
+    vdot_dof = maths.motion_cross(body_vel[model.dof_vsrc], vel_dof)  # (nv,6)
+    body_acc = body_dof @ vdot_dof + a_grav            # (nbody,6)
+    iv = jnp.einsum('bij,bj->bi', ispatial, body_vel)
+    f_bias = (jnp.einsum('bij,bj->bi', ispatial, body_acc) +
+              maths.motion_cross_force(body_vel, iv))  # (nbody,6)
+    qfrc_bias = jnp.einsum('bk,bi,ki->k', body_dof, f_bias, cdof)
+
+    # CRBA mass matrix
+    ic = jnp.einsum('ab,bij->aij', body_anc, ispatial) # composite inertias
+    f_crb = jnp.einsum('kij,kj->ki', ic[model.dof_body], cdof)  # (nv,6)
+    m_raw = cdof @ f_crb.T                             # (nv,nv)
+    anc = jnp.asarray(model.dof_ancestor, dtype)
+    m_upper = m_raw * anc
+    mass_mat = m_upper + m_upper.T - jnp.diag(jnp.diag(m_upper))
+    mass_mat = mass_mat + jnp.diag(jnp.asarray(model.dof_armature, dtype))
+
+    # passive: joint springs + damping
+    qfrc_passive = -mm.dof_damping * qvel
+    for ji in range(model.njnt):
+        if model.jnt_stiffness[ji] > 0 and model.jnt_type[ji] != FREE:
+            qadr, dadr = int(model.jnt_qposadr[ji]), int(model.jnt_dofadr[ji])
+            k = model.jnt_stiffness[ji]
+            qfrc_passive = qfrc_passive.at[dadr].add(
+                -k * (qpos[qadr] - model.jnt_springref[ji]))
+
+    # actuation: motor gear torque with ctrl clamped to ctrlrange
+    qfrc_actuator = jnp.zeros(model.nv, dtype)
+    if model.nu:
+        lo = jnp.asarray(model.act_ctrlrange[:, 0], dtype)
+        hi = jnp.asarray(model.act_ctrlrange[:, 1], dtype)
+        torque = jnp.clip(ctrl, lo, hi) * jnp.asarray(model.act_gear, dtype)
+        qfrc_actuator = qfrc_actuator.at[model.act_dofadr].add(torque)
+
+    # external wrenches (xfrc_applied: (force, torque) at body COM — the Arm
+    # 'force' task surface, reference arm_7dof_env.py:124-130)
+    frc = mm.xfrc_applied[:, :3]
+    trq = mm.xfrc_applied[:, 3:]
+    f_ext = jnp.concatenate([trq + jnp.cross(xipos, frc), frc], axis=-1)
+    qfrc_applied = jnp.einsum('bk,bi,ki->k', body_dof, f_ext, cdof)
+
+    qfrc_smooth = qfrc_actuator + qfrc_passive + qfrc_applied - qfrc_bias
+
+    aux = dict(xpos=xpos, xquat=xquat, ximat=ximat, cdof=cdof, xipos=xipos,
+               body_vel=body_vel, qfrc_actuator=qfrc_actuator)
+    return mass_mat, qfrc_smooth, aux
+
+
+def constraint_forces(model: PhysicsModel, mm: MutableModel,
+                      state: PhysicsState, mass_mat, qfrc_smooth, aux):
+    """Joint limits + contacts via MuJoCo-style soft constraints and PGS.
+    Returns qfrc_constraint (nv,)."""
+    dtype = state.qpos.dtype
+    qvel = state.qvel
+    cdof = aux['cdof']
+
+    rows_j, rows_r, rows_solref, rows_solimp = [], [], [], []
+    rows_kind, rows_mu, rows_nidx = [], [], []
+
+    # ---- joint limit rows (reference relies on these heavily: cheetah leg
+    # stops, arm ranges; solreflimit/solimplimit in the XMLs) ----
+    for ji in range(model.njnt):
+        if not model.jnt_limited[ji] or model.jnt_type[ji] == FREE:
+            continue
+        qadr, dadr = int(model.jnt_qposadr[ji]), int(model.jnt_dofadr[ji])
+        lo, hi = model.jnt_range[ji]
+        e = jnp.zeros(model.nv, dtype).at[dadr].set(1.0)
+        for sign, r in ((1.0, state.qpos[qadr] - lo),
+                        (-1.0, hi - state.qpos[qadr])):
+            rows_j.append(sign * e)
+            rows_r.append(r)
+            rows_solref.append(jnp.asarray(model.jnt_solref_limit[ji], dtype))
+            rows_solimp.append(jnp.asarray(model.jnt_solimp_limit[ji], dtype))
+            rows_kind.append(0)
+            rows_mu.append(0.0)
+            rows_nidx.append(len(rows_kind) - 1)
+
+    # ---- contact rows ----
+    gpos, gmat = _geom_frames(model, mm, aux['xpos'], aux['ximat'])
+    dist, pos, normal, cmeta = _contacts(model, mm, gpos, gmat)
+    ncon = dist.shape[0]
+    for ci in range(ncon):
+        b1, b2 = int(cmeta['body1'][ci]), int(cmeta['body2'][ci])
+        n = normal[ci]
+        jp = _point_jacobian(model, cdof, b2, pos[ci]) - \
+            _point_jacobian(model, cdof, b1, pos[ci])
+        margin = float(cmeta['margin'][ci])
+        r = dist[ci] - margin
+        nrow_idx = len(rows_kind)
+        rows_j.append(jp @ n)
+        rows_r.append(r)
+        rows_solref.append(jnp.asarray(cmeta['solref'][ci], dtype))
+        rows_solimp.append(jnp.asarray(cmeta['solimp'][ci], dtype))
+        rows_kind.append(0)
+        rows_mu.append(0.0)
+        rows_nidx.append(nrow_idx)
+        if int(cmeta['condim'][ci]) >= 3:
+            t1, t2 = _tangent_frame(n)
+            for t in (t1, t2):
+                rows_j.append(jp @ t)
+                rows_r.append(jnp.zeros((), dtype))
+                rows_solref.append(jnp.asarray(cmeta['solref'][ci], dtype))
+                rows_solimp.append(jnp.asarray(cmeta['solimp'][ci], dtype))
+                rows_kind.append(1)
+                rows_mu.append(float(cmeta['mu'][ci]))
+                rows_nidx.append(nrow_idx)
+
+    nrows = len(rows_kind)
+    if nrows == 0:
+        return jnp.zeros(model.nv, dtype)
+
+    J = jnp.stack(rows_j)                       # (nrows, nv)
+    r_pos = jnp.stack([jnp.asarray(r, dtype) for r in rows_r])
+    solref = jnp.stack(rows_solref)
+    solimp = jnp.stack(rows_solimp)
+    kind = np.asarray(rows_kind)                # static
+    mu = jnp.asarray(np.asarray(rows_mu), dtype)
+    nidx = np.asarray(rows_nidx)                # static
+
+    # active mask: normal/limit rows need r < 0; friction rows follow their
+    # normal row
+    active_own = r_pos < 0.0
+    active = jnp.where(jnp.asarray(kind == 1), active_own[nidx], active_own)
+    J = J * active[:, None]
+
+    # impedance, spring params
+    r_imp = jnp.where(jnp.asarray(kind == 1), r_pos[nidx], r_pos)
+    d = _impedance(solimp, r_imp)
+    k, b = _kb(solref, d)
+    vel = J @ qvel
+    aref = -b * vel - k * jnp.where(jnp.asarray(kind == 1),
+                                    jnp.zeros_like(r_pos), r_pos)
+
+    # A = J M^-1 J^T (+ regularizer R from impedance)
+    chol = jax.scipy.linalg.cho_factor(mass_mat)
+    minv_jt = jax.scipy.linalg.cho_solve(chol, J.T)   # (nv, nrows)
+    A = J @ minv_jt
+    diag_a = jnp.clip(jnp.diag(A), 1e-10, None)
+    R = (1.0 - d) / d * diag_a
+    R = jnp.where(active, R, 1.0)
+    A = A + jnp.diag(R)
+    a_ii_inv = 1.0 / jnp.clip(jnp.diag(A), 1e-10, None)
+
+    qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
+    b_vec = J @ qacc_smooth - aref
+
+    # projected Gauss-Seidel: lax.scan over rows inside fori over sweeps
+    kind_j = jnp.asarray(kind)
+    nidx_j = jnp.asarray(nidx)
+
+    def sweep(_, f):
+        def row(f, xs):
+            a_row, b_i, aii_inv, kd, mu_i, ni, i = xs
+            fi = f[i] - (a_row @ f + b_i) * aii_inv
+            fn = f[ni]
+            fi = jnp.where(kd == 0, jnp.maximum(fi, 0.0),
+                           jnp.clip(fi, -mu_i * fn, mu_i * fn))
+            return f.at[i].set(fi), None
+
+        f, _ = jax.lax.scan(
+            row, f,
+            (A, b_vec, a_ii_inv, kind_j, mu, nidx_j,
+             jnp.arange(nrows)))
+        return f
+
+    f0 = jnp.zeros(nrows, dtype)
+    f = jax.lax.fori_loop(0, model.iterations, sweep, f0)
+    f = f * active
+
+    return J.T @ f
+
+
+def _integrate_pos(model: PhysicsModel, qpos, qvel, dt):
+    """qpos <- qpos (+) dt*qvel handling quaternion joints."""
+    out = []
+    for ji in range(model.njnt):
+        jt = int(model.jnt_type[ji])
+        qadr = int(model.jnt_qposadr[ji])
+        dadr = int(model.jnt_dofadr[ji])
+        if jt == FREE:
+            out.append(qpos[qadr:qadr + 3] + dt * qvel[dadr:dadr + 3])
+            out.append(maths.quat_integrate(
+                qpos[qadr + 3:qadr + 7], qvel[dadr + 3:dadr + 6], dt))
+        else:
+            out.append(qpos[qadr:qadr + 1] + dt * qvel[dadr:dadr + 1])
+    return jnp.concatenate(out) if out else qpos
+
+
+def _qacc(model, mm, state, ctrl, implicit_damping):
+    mass_mat, qfrc_smooth, aux = smooth_dynamics(model, mm, state, ctrl)
+    qfrc_con = constraint_forces(model, mm, state, mass_mat, qfrc_smooth, aux)
+    if implicit_damping:
+        # (M + h*D) qacc = qfrc gives the velocity update of implicit-in-
+        # damping Euler (MuJoCo 'Euler' integrator semantics)
+        mass_int = mass_mat + model.timestep * jnp.diag(mm.dof_damping)
+    else:
+        mass_int = mass_mat
+    # mass matrix is SPD: Cholesky solve (batched-friendly on TPU, unlike LU)
+    qacc = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(mass_int), qfrc_smooth + qfrc_con)
+    return qacc
+
+
+def step(model: PhysicsModel, mm: MutableModel, state: PhysicsState,
+         ctrl) -> PhysicsState:
+    """Advance one physics timestep (the `mj_step` equivalent)."""
+    h = model.timestep
+    if model.integrator == EULER:
+        qacc = _qacc(model, mm, state, ctrl, implicit_damping=True)
+        qvel = state.qvel + h * qacc
+        qpos = _integrate_pos(model, state.qpos, qvel, h)
+        return PhysicsState(qpos=qpos, qvel=qvel)
+    elif model.integrator == RK4:
+        def deriv(s):
+            return s.qvel, _qacc(model, mm, s, ctrl, implicit_damping=False)
+        v1, a1 = deriv(state)
+        s2 = PhysicsState(_integrate_pos(model, state.qpos, v1, 0.5 * h),
+                          state.qvel + 0.5 * h * a1)
+        v2, a2 = deriv(s2)
+        s3 = PhysicsState(_integrate_pos(model, state.qpos, v2, 0.5 * h),
+                          state.qvel + 0.5 * h * a2)
+        v3, a3 = deriv(s3)
+        s4 = PhysicsState(_integrate_pos(model, state.qpos, v3, h),
+                          state.qvel + h * a3)
+        v4, a4 = deriv(s4)
+        v_avg = (v1 + 2 * v2 + 2 * v3 + v4) / 6.0
+        a_avg = (a1 + 2 * a2 + 2 * a3 + a4) / 6.0
+        qpos = _integrate_pos(model, state.qpos, v_avg, h)
+        qvel = state.qvel + h * a_avg
+        return PhysicsState(qpos=qpos, qvel=qvel)
+    raise ValueError(f'integrator {model.integrator}')
+
+
+def forward(model: PhysicsModel, mm: MutableModel,
+            state: PhysicsState) -> ForwardData:
+    """Position/velocity-stage forward pass (the `mj_forward` subset envs
+    consume for observations and rewards)."""
+    dtype = state.qpos.dtype
+    xpos, xquat, cdof = _fk(model, mm, state.qpos)
+    ximat = maths.quat_to_mat(xquat)
+    xipos, _ = _mass_properties(model, mm, xpos, xquat, ximat)
+
+    body_dof = jnp.asarray(model.body_dof, dtype)
+    body_anc = jnp.asarray(model.body_ancestor, dtype)
+    body_vel = body_dof @ (cdof * state.qvel[:, None])
+
+    mass = mm.body_mass
+    subtree_mass = body_anc @ mass
+    safe_mass = jnp.maximum(subtree_mass, 1e-10)
+    subtree_com = (body_anc @ (mass[:, None] * xipos)) / safe_mass[:, None]
+    vcom = maths.point_velocity(body_vel, xipos)
+    subtree_comvel = (body_anc @ (mass[:, None] * vcom)) / safe_mass[:, None]
+
+    return ForwardData(xpos=xpos, xquat=xquat, ximat=ximat,
+                       subtree_com=subtree_com, subtree_comvel=subtree_comvel,
+                       qfrc_actuator=jnp.zeros(model.nv, dtype))
