@@ -1,0 +1,187 @@
+"""Functional environment API.
+
+The reference's Env/MujocoEnv classes mutate a live MjModel
+(envs/base.py:5-81, envs/mujoco_env.py:29-250). Here an environment is a
+bundle of *pure functions* over an explicit EnvState pytree:
+
+    reset(key, episode_idx) -> EnvState
+    step(state, action)     -> (EnvState, obs, reward, done, info)
+    reward(obs, act, next_obs)  # batched planner-side reward (the API the
+                                # MPC controller requires; reference
+                                # policies/mpc_controller.py:39)
+
+so envs vmap over thousands of instances and jit into the sampler scan.
+Dynamics perturbations ("tasks") are data inside EnvState.mm (a MutableModel)
+plus env-specific extras in EnvState.task — sampled per episode with a PRNG
+key, mirroring `reset_every_episode` semantics (reference
+half_cheetah_env.py:67-72: the task resamples on every reset *after* the
+first episode).
+"""
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from learning_to_adapt_tpu.physics import engine
+from learning_to_adapt_tpu.physics.spec import (
+    MutableModel, PhysicsModel, default_mutable)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class EnvState:
+    phys: Any         # PhysicsState
+    mm: Any           # MutableModel (task-perturbed runtime model)
+    task: Any         # dict of env-specific task variables (cripple_mask, ..)
+    obs: Any          # (obs_dim,) current observation
+    t: Any            # () int32 steps taken in current episode
+    episode: Any      # () int32 episode counter (task resampling gate)
+
+
+class TPUEnv:
+    """Base env: subclasses define model, observation, reward and task
+    sampling. Instances are static config only — safe to close over in jit."""
+
+    name: str = 'env'
+    task_default: str = None
+
+    def __init__(self, task=None, reset_every_episode=False, frame_skip=None,
+                 dtype=jnp.float32):
+        task = None if task == 'None' else task
+        self.task = task
+        self.reset_every_episode = reset_every_episode
+        self.dtype = dtype
+        self.model: PhysicsModel = self._build_model()
+        self.mm0: MutableModel = jax.tree.map(
+            jnp.asarray, default_mutable(self.model, np.dtype(dtype)))
+        self.frame_skip = (frame_skip if frame_skip is not None
+                           else self.model.frame_skip)
+        self.dt = self.model.timestep  # reference env.dt == opt.timestep
+        self.act_dim = self.model.nu
+        shapes = jax.eval_shape(self.reset, jax.random.PRNGKey(0))
+        self.obs_dim = int(shapes.obs.shape[0])
+
+    # ---- to implement in subclasses -------------------------------------
+    def _build_model(self) -> PhysicsModel:
+        raise NotImplementedError
+
+    def observe(self, data: engine.ForwardData, phys) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def step_reward(self, data, action):
+        """True env reward from instantaneous forward data (the reference
+        uses mj subtree-COM velocity, not finite differences:
+        half_cheetah_env.py:52 via mjcore.py:54-83)."""
+        raise NotImplementedError
+
+    def reward(self, obs, act, next_obs):
+        """Batched model-rollout reward from observations only."""
+        raise NotImplementedError
+
+    def sample_task(self, key, mm: MutableModel, task: dict):
+        """Returns (mm, task) for a freshly sampled task."""
+        return mm, task
+
+    def default_task(self) -> dict:
+        return dict(cripple_mask=jnp.ones(self.act_dim, self.dtype))
+
+    def init_state(self, key):
+        """Gaussian-perturbed initial (qpos, qvel) as in the reference
+        (mujoco_env.py:81-101: qpos sigma .01, qvel sigma .1)."""
+        init_qpos = (self.model.init_qpos if self.model.init_qpos is not None
+                     else self.model.qpos0)
+        k1, k2 = jax.random.split(key)
+        qpos = jnp.asarray(init_qpos, self.dtype) + \
+            0.01 * jax.random.normal(k1, (self.model.nq,), self.dtype)
+        qvel = 0.1 * jax.random.normal(k2, (self.model.nv,), self.dtype)
+        return engine.PhysicsState(qpos=qpos, qvel=qvel)
+
+    # ---- generic machinery ----------------------------------------------
+    def reset(self, key, episode_idx=0) -> EnvState:
+        kt, ks = jax.random.split(key)
+        mm, task = self.mm0, self.default_task()
+        if self.reset_every_episode and self.task is not None:
+            # the reference runs the *first* episode with the nominal task and
+            # resamples from the second on (first=True gate)
+            mm_s, task_s = self.sample_task(kt, mm, task)
+            pick = episode_idx > 0
+            mm = jax.tree.map(
+                lambda a, b: jnp.where(pick, b, a), mm, mm_s)
+            task = jax.tree.map(
+                lambda a, b: jnp.where(pick, b, a), task, task_s)
+        elif self.task is not None:
+            mm, task = self.sample_task(kt, mm, task)
+
+        phys = self.init_state(ks)
+        data = engine.forward(self.model, mm, phys)
+        state = EnvState(phys=phys, mm=mm, task=task,
+                         obs=self.observe(data, phys),
+                         t=jnp.zeros((), jnp.int32),
+                         episode=jnp.asarray(episode_idx, jnp.int32))
+        return state
+
+    def step(self, state: EnvState, action):
+        """One env step: mask crippled actuators, frame_skip physics substeps,
+        recompute observation/reward."""
+        action = state.task['cripple_mask'] * action
+        phys = state.phys
+        for _ in range(self.frame_skip):
+            phys = engine.step(self.model, state.mm, phys, action)
+        data = engine.forward(self.model, state.mm, phys)
+        obs = self.observe(data, phys)
+        reward = self.step_reward(data, action)
+        done = jnp.zeros((), bool)  # none of the five envs terminates early
+        new_state = EnvState(phys=phys, mm=state.mm, task=state.task, obs=obs,
+                             t=state.t + 1, episode=state.episode)
+        return new_state, obs, reward, done, {}
+
+    # convenience accessors ------------------------------------------------
+    def body_comvel(self, data, body_name):
+        return data.subtree_comvel[self.model.body_id(body_name)]
+
+    def body_com(self, data, body_name):
+        return data.subtree_com[self.model.body_id(body_name)]
+
+    @property
+    def action_space_bounds(self):
+        lo = jnp.asarray(self.model.act_ctrlrange[:, 0], self.dtype)
+        hi = jnp.asarray(self.model.act_ctrlrange[:, 1], self.dtype)
+        return lo, hi
+
+
+class NormalizedEnv:
+    """Action-normalizing wrapper: planner/policy space is [-1,1]^act_dim,
+    rescaled and clipped to the env bounds (reference
+    envs/normalized_env.py:126-134; obs/reward normalization are off by
+    default there and rewards pass through unscaled — preserved)."""
+
+    def __init__(self, env: TPUEnv):
+        self.wrapped_env = env
+
+    def __getattr__(self, name):
+        return getattr(self.wrapped_env, name)
+
+    def action_lo_hi(self):
+        return self.wrapped_env.action_space_bounds
+
+    def denormalize_action(self, action):
+        lo, hi = self.wrapped_env.action_space_bounds
+        scaled = lo + (action + 1.0) * 0.5 * (hi - lo)
+        return jnp.clip(scaled, lo, hi)
+
+    def step(self, state, action):
+        return self.wrapped_env.step(state, self.denormalize_action(action))
+
+    def reset(self, key, episode_idx=0):
+        return self.wrapped_env.reset(key, episode_idx)
+
+    def reward(self, obs, act, next_obs):
+        # planner actions are normalized; the reference evaluates env.reward
+        # on the *normalized* actions too (ctrl cost in planner space)
+        return self.wrapped_env.reward(obs, act, next_obs)
+
+
+def normalize(env: TPUEnv) -> NormalizedEnv:
+    return NormalizedEnv(env)

@@ -1,0 +1,101 @@
+"""Device-mesh scale-out.
+
+The reference parallelizes env sampling with worker processes and pickled
+pipes (vectorized_env_executor.py:72-213) and has no gradient/parameter
+distribution at all (SURVEY.md section 2.2). Here scale-out is the JAX
+sharding model:
+
+  axis 'env'   — environment instances / rollouts / planner batch rows
+  axis 'model' — dynamics-ensemble members (the EP-like axis)
+
+Envs live on device as a batched state pytree; sharding the leading env axis
+with NamedSharding makes XLA partition the fused rollout program across
+chips with zero code change. Gradient and normalizer reductions ride ICI via
+psum inside shard_map-ped train steps.
+
+Multi-host: call jax.distributed.initialize() before building the mesh; the
+same code then spans hosts (DCN for cross-slice collectives).
+"""
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_env: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Mesh over the available devices with ('env', 'model') axes."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_env is None:
+        n_env = len(devices) // n_model
+    devs = np.asarray(devices[:n_env * n_model]).reshape(n_env, n_model)
+    return Mesh(devs, ('env', 'model'))
+
+
+def shard_batch(mesh: Mesh, tree, axis_name='env'):
+    """Put a pytree on device with its leading axis sharded over
+    `axis_name` (replicated over the other mesh axes)."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def sharded_rollout_fn(rollout_fn, mesh: Mesh, num_rollouts: int):
+    """Wraps a fused rollout program so the env axis (num_rollouts) shards
+    over the mesh 'env' axis: per-env reset keys go in sharded, path arrays
+    come out sharded; params/normalizer stay replicated."""
+    env_sharded = NamedSharding(mesh, P('env'))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit,
+                       out_shardings=env_sharded)
+    def fn(params, norm, key, episode_idx):
+        return rollout_fn(params, norm, key, episode_idx)
+
+    return fn
+
+
+def data_parallel_grad_step(mesh: Mesh, loss_fn, optimizer):
+    """Builds a shard_map-ped DP training step: each device computes the
+    gradient of `loss_fn(params, *local_batch)` on its shard of the batch,
+    gradients are pmean'd over the 'env' axis (ICI collective), and the
+    optimizer update is applied identically everywhere."""
+    from jax.experimental.shard_map import shard_map
+
+    def step(params, opt_state, *batch):
+        def local(params, opt_state, *local_batch):
+            loss, grads = jax.value_and_grad(loss_fn)(params, *local_batch)
+            grads = jax.lax.pmean(grads, 'env')
+            loss = jax.lax.pmean(loss, 'env')
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        sharded = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P()) + tuple(P('env') for _ in batch),
+            out_specs=(P(), P(), P()),
+            check_rep=False)
+        return sharded(params, opt_state, *batch)
+
+    return jax.jit(step)
+
+
+def psum_normalizer_stats(obs, act, delta, axis_name='env'):
+    """Cross-device normalization statistics: local sums psum'd so every
+    shard sees global mean/std (use inside shard_map/pjit bodies)."""
+    def global_stats(x):
+        n = jax.lax.psum(jnp.asarray(x.shape[0], x.dtype), axis_name)
+        s = jax.lax.psum(jnp.sum(x, axis=0), axis_name)
+        ss = jax.lax.psum(jnp.sum(jnp.square(x), axis=0), axis_name)
+        mean = s / n
+        var = jnp.maximum(ss / n - jnp.square(mean), 0.0)
+        return mean, jnp.sqrt(var)
+    return tuple(global_stats(x) for x in (obs, act, delta))

@@ -390,7 +390,16 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
     # normal row
     active_own = r_pos < 0.0
     active = jnp.where(jnp.asarray(kind == 1), active_own[nidx], active_own)
+
+    # rows whose constraint direction is (numerically) immovable — J M^-1 J^T
+    # diagonal ~ 0, e.g. a deep contact sitting on the joint axes — cannot be
+    # resolved and must be dropped, or PGS divides by ~0 and explodes
+    chol = jax.scipy.linalg.cho_factor(mass_mat)
+    minv_jt_raw = jax.scipy.linalg.cho_solve(chol, J.T)   # (nv, nrows)
+    diag0 = jnp.sum(J * minv_jt_raw.T, axis=1)
+    active = active & (diag0 > 1e-7 * (1.0 + jnp.max(diag0)))
     J = J * active[:, None]
+    minv_jt = minv_jt_raw * active[None, :]
 
     # impedance, spring params
     r_imp = jnp.where(jnp.asarray(kind == 1), r_pos[nidx], r_pos)
@@ -399,19 +408,18 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
     vel = J @ qvel
     aref = -b * vel - k * jnp.where(jnp.asarray(kind == 1),
                                     jnp.zeros_like(r_pos), r_pos)
+    aref = aref * active
 
     # A = J M^-1 J^T (+ regularizer R from impedance)
-    chol = jax.scipy.linalg.cho_factor(mass_mat)
-    minv_jt = jax.scipy.linalg.cho_solve(chol, J.T)   # (nv, nrows)
     A = J @ minv_jt
     diag_a = jnp.clip(jnp.diag(A), 1e-10, None)
-    R = (1.0 - d) / d * diag_a
+    R = jnp.maximum((1.0 - d) / d * diag_a, 1e-8)
     R = jnp.where(active, R, 1.0)
     A = A + jnp.diag(R)
     a_ii_inv = 1.0 / jnp.clip(jnp.diag(A), 1e-10, None)
 
     qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
-    b_vec = J @ qacc_smooth - aref
+    b_vec = (J @ qacc_smooth - aref) * active
 
     # projected Gauss-Seidel: lax.scan over rows inside fori over sweeps
     kind_j = jnp.asarray(kind)

@@ -1,0 +1,91 @@
+"""Sampler: collects `num_rollouts` paths of `max_path_length` steps per
+call, entirely on device (API parity with reference samplers/sampler.py).
+
+`n_parallel` is accepted for config compatibility but meaningless here: the
+reference forks worker processes to parallelize envs
+(vectorized_env_executor.py:72-213); this framework vmaps env state on one
+chip and shards the env axis across chips (parallel/), so every call is
+"fully parallel".
+"""
+import time
+
+import jax
+import numpy as np
+
+from learning_to_adapt_tpu.samplers.rollout import make_rollout_fn
+from learning_to_adapt_tpu.utils import logging as logger
+
+
+class Sampler:
+    def __init__(self, env, policy, num_rollouts, max_path_length,
+                 n_parallel=1, adapt_batch_size=None, seed=0):
+        self.env = env
+        self.policy = policy
+        self.num_rollouts = num_rollouts
+        self.max_path_length = max_path_length
+        self.adapt_batch_size = adapt_batch_size
+        self.total_samples = num_rollouts * max_path_length
+        self.total_timesteps_sampled = 0
+        self._episode_idx = 0
+        self._key = jax.random.PRNGKey(seed)
+        self._fns = {}
+
+    def _rollout_fn(self, random):
+        if random not in self._fns:
+            self._fns[random] = make_rollout_fn(
+                self.env, self.policy, self.policy.dynamics_model,
+                self.num_rollouts, self.max_path_length,
+                adapt_batch_size=self.adapt_batch_size, random=random)
+        return self._fns[random]
+
+    def obtain_samples(self, log=False, log_prefix='', random=False):
+        t0 = time.time()
+        model = self.policy.dynamics_model
+        self._key, sub = jax.random.split(self._key)
+        fn = self._rollout_fn(random)
+        paths = fn(model.params, model.normalizer, sub,
+                   np.int32(self._episode_idx))
+        paths = jax.tree.map(np.asarray, jax.device_get(paths))
+        self._episode_idx += 1
+        self.total_timesteps_sampled += self.total_samples
+        if log:
+            logger.logkv(log_prefix + 'TimeStepsCtr',
+                         self.total_timesteps_sampled)
+            logger.logkv(log_prefix + 'PolicyExecTime', time.time() - t0)
+            logger.logkv(log_prefix + 'EnvExecTime', 0.0)  # fused on device
+        return paths
+
+    def update_tasks(self):
+        pass  # tasks are resampled inside env.reset (task-as-data)
+
+
+class ModelSampleProcessor:
+    """Reference samplers/model_sample_processor.py: shapes rollout arrays
+    for model fitting. recurrent=True keeps the [n_paths, T, dim] layout
+    (GrBAL/ReBAL); recurrent=False flattens to 2-D (MB-MPC)."""
+
+    def __init__(self, recurrent=False):
+        self.recurrent = recurrent
+
+    def process_samples(self, paths, log=False, log_prefix=''):
+        obs = paths['observations']
+        nxt = paths['next_observations']
+        act = paths['actions']
+        rew = paths['rewards']
+        assert obs.ndim == 3
+        ret = rew.sum(axis=1)
+        if log:
+            logger.logkv(log_prefix + 'AverageReturn', float(ret.mean()))
+            logger.logkv(log_prefix + 'MaxReturn', float(ret.max()))
+            logger.logkv(log_prefix + 'MinReturn', float(ret.min()))
+            logger.logkv(log_prefix + 'StdReturn', float(ret.std()))
+        if self.recurrent:
+            return dict(observations=obs, next_observations=nxt, actions=act,
+                        rewards=rew, returns=ret)
+        d = obs.shape[-1]
+        return dict(
+            observations=obs.reshape(-1, d),
+            next_observations=nxt.reshape(-1, d),
+            actions=act.reshape(-1, act.shape[-1]),
+            rewards=rew.reshape(-1),
+            returns=ret)

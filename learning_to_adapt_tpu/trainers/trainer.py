@@ -1,0 +1,81 @@
+"""Training orchestration (reference trainers/mb_trainer.py parity).
+
+Per-iteration loop: obtain samples (uniform-random actions on iteration 0
+when initial_random_samples) -> process -> fit dynamics model -> log named
+timing segments (Time-EnvSampling / Time-EnvSampleProc / Time-ModelFit,
+reference mb_trainer.py:75-103) -> snapshot.
+"""
+import pickle
+import time
+
+import numpy as np
+
+from learning_to_adapt_tpu.utils import logging as logger
+
+
+class Trainer:
+    def __init__(self, env, sampler, sample_processor, policy, dynamics_model,
+                 n_itr, start_itr=0, initial_random_samples=True,
+                 dynamics_model_max_epochs=200, config=None):
+        self.env = env
+        self.sampler = sampler
+        self.sample_processor = sample_processor
+        self.policy = policy
+        self.dynamics_model = dynamics_model
+        self.n_itr = n_itr
+        self.start_itr = start_itr
+        self.initial_random_samples = initial_random_samples
+        self.dynamics_model_max_epochs = dynamics_model_max_epochs
+        self.config = config
+
+    def train(self):
+        t_start = time.time()
+        for itr in range(self.start_itr, self.n_itr):
+            itr_t0 = time.time()
+            logger.log(f'\n ---------------- Iteration {itr} ----------------')
+
+            t = time.time()
+            random = itr == 0 and self.initial_random_samples
+            if random:
+                logger.log('Obtaining random samples from the environment...')
+            else:
+                logger.log('Obtaining samples from the environment using '
+                           'the policy...')
+            paths = self.sampler.obtain_samples(log=True, log_prefix='EnvSampler-',
+                                                random=random)
+            logger.logkv('Time-EnvSampling', time.time() - t)
+
+            logger.log('Processing environment samples...')
+            t = time.time()
+            samples = self.sample_processor.process_samples(
+                paths, log=True, log_prefix='EnvTrajs-')
+            logger.logkv('Time-EnvSampleProc', time.time() - t)
+
+            t = time.time()
+            logger.log('Training dynamics model for '
+                       f'{self.dynamics_model_max_epochs} epochs...')
+            self.dynamics_model.fit(samples['observations'],
+                                    samples['actions'],
+                                    samples['next_observations'],
+                                    epochs=self.dynamics_model_max_epochs,
+                                    verbose=True, log_tabular=True,
+                                    logger=logger)
+            logger.logkv('Time-ModelFit', time.time() - t)
+
+            logger.logkv('Itr', itr)
+            logger.logkv('n_timesteps', self.sampler.total_timesteps_sampled)
+            logger.logkv('Time', time.time() - t_start)
+            logger.logkv('ItrTime', time.time() - itr_t0)
+
+            logger.log('Saving snapshot...')
+            t = time.time()
+            logger.save_itr_params(itr, self.get_itr_snapshot(itr))
+            logger.logkv('Time-Snapshot', time.time() - t)
+
+            logger.dumpkvs()
+        logger.log('Training finished')
+
+    def get_itr_snapshot(self, itr):
+        return dict(itr=itr,
+                    dynamics_model=self.dynamics_model.state_dict(),
+                    config=self.config)

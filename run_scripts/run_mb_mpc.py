@@ -1,0 +1,122 @@
+"""MB-MPC: feed-forward dynamics model + MPC (reference
+run_scripts/run_mb_mpc.py; canonical config at its lines 71-103)."""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize  # noqa: E402
+from learning_to_adapt_tpu.models import MLPDynamicsModel  # noqa: E402
+from learning_to_adapt_tpu.policies import MPCController  # noqa: E402
+from learning_to_adapt_tpu.samplers import (  # noqa: E402
+    ModelSampleProcessor, Sampler)
+from learning_to_adapt_tpu.trainers import Trainer  # noqa: E402
+from learning_to_adapt_tpu.utils import logging as logger  # noqa: E402
+from learning_to_adapt_tpu.utils.config import ClassEncoder  # noqa: E402
+
+EXP_NAME = 'mb_mpc'
+
+
+def run_experiment(config):
+    exp_dir = os.path.join(os.getcwd(), 'data', EXP_NAME,
+                           config.get('exp_name', ''))
+    logger.configure(dir=exp_dir, format_strs=['stdout', 'log', 'csv'],
+                     snapshot_mode='last')
+    json.dump(config, open(os.path.join(exp_dir, 'params.json'), 'w'),
+              indent=2, sort_keys=True, cls=ClassEncoder)
+
+    env = normalize(config['env'](reset_every_episode=True,
+                                  task=config['task']))
+
+    dynamics_model = MLPDynamicsModel(
+        name='dyn_model',
+        env=env,
+        learning_rate=config['learning_rate'],
+        hidden_sizes=config['hidden_sizes'],
+        valid_split_ratio=config['valid_split_ratio'],
+        rolling_average_persitency=config['rolling_average_persitency'],
+        hidden_nonlinearity=config['hidden_nonlinearity'],
+        batch_size=config['batch_size'],
+        n_members=config.get('n_members', 1),
+    )
+
+    policy = MPCController(
+        name='policy',
+        env=env,
+        dynamics_model=dynamics_model,
+        discount=config['discount'],
+        n_candidates=config['n_candidates'],
+        horizon=config['horizon'],
+        use_cem=config['use_cem'],
+        num_cem_iters=config['num_cem_iters'],
+    )
+
+    sampler = Sampler(
+        env=env,
+        policy=policy,
+        num_rollouts=config['num_rollouts'],
+        max_path_length=config['max_path_length'],
+        n_parallel=config['n_parallel'],
+    )
+
+    sample_processor = ModelSampleProcessor(recurrent=False)
+
+    algo = Trainer(
+        env=env,
+        policy=policy,
+        dynamics_model=dynamics_model,
+        sampler=sampler,
+        sample_processor=sample_processor,
+        n_itr=config['n_itr'],
+        initial_random_samples=config['initial_random_samples'],
+        dynamics_model_max_epochs=config['dynamic_model_epochs'],
+        config=config,
+    )
+    algo.train()
+
+
+config = {
+    # Environment
+    'env': HalfCheetahEnv,
+    'task': None,
+
+    # Policy
+    'n_candidates': 2000,
+    'horizon': 20,
+    'use_cem': False,
+    'num_cem_iters': 5,
+    'discount': 1.,
+
+    # Sampling
+    'max_path_length': 100,
+    'num_rollouts': 10,
+    'initial_random_samples': True,
+
+    # Training
+    'n_itr': 50,
+    'learning_rate': 1e-3,
+    'batch_size': 128,
+    'dynamic_model_epochs': 100,
+    'valid_split_ratio': 0.1,
+    'rolling_average_persitency': 0.99,
+
+    # Dynamics Model
+    'hidden_sizes': (512, 512),
+    'hidden_nonlinearity': 'relu',
+
+    # Other
+    'n_parallel': 2,
+}
+
+
+if __name__ == '__main__':
+    p = argparse.ArgumentParser()
+    p.add_argument('--n_itr', type=int, default=None)
+    p.add_argument('--exp_name', type=str, default='')
+    args = p.parse_args()
+    if args.n_itr:
+        config['n_itr'] = args.n_itr
+    config['exp_name'] = args.exp_name
+    run_experiment(config)

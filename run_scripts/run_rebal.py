@@ -1,0 +1,125 @@
+"""ReBAL: recurrence-based adaptive learner — recurrent dynamics model whose
+hidden state adapts online + MPC (reference run_scripts/run_rebal.py;
+canonical config at its lines 71-103)."""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize  # noqa: E402
+from learning_to_adapt_tpu.models import RNNDynamicsModel  # noqa: E402
+from learning_to_adapt_tpu.policies import RNNMPCController  # noqa: E402
+from learning_to_adapt_tpu.samplers import (  # noqa: E402
+    ModelSampleProcessor, Sampler)
+from learning_to_adapt_tpu.trainers import Trainer  # noqa: E402
+from learning_to_adapt_tpu.utils import logging as logger  # noqa: E402
+from learning_to_adapt_tpu.utils.config import ClassEncoder  # noqa: E402
+
+EXP_NAME = 'rebal'
+
+
+def run_experiment(config):
+    exp_dir = os.path.join(os.getcwd(), 'data', EXP_NAME,
+                           config.get('exp_name', ''))
+    logger.configure(dir=exp_dir, format_strs=['stdout', 'log', 'csv'],
+                     snapshot_mode='last')
+    json.dump(config, open(os.path.join(exp_dir, 'params.json'), 'w'),
+              indent=2, sort_keys=True, cls=ClassEncoder)
+
+    env = normalize(config['env'](reset_every_episode=True,
+                                  task=config['task']))
+
+    dynamics_model = RNNDynamicsModel(
+        name='dyn_model',
+        env=env,
+        hidden_sizes=config['hidden_sizes'],
+        learning_rate=config['learning_rate'],
+        backprop_steps=config['backprop_steps'],
+        cell_type=config['cell_type'],
+        batch_size=config['batch_size'],
+        valid_split_ratio=config['valid_split_ratio'],
+        rolling_average_persitency=config['rolling_average_persitency'],
+    )
+
+    policy = RNNMPCController(
+        name='policy',
+        env=env,
+        dynamics_model=dynamics_model,
+        discount=config['discount'],
+        n_candidates=config['n_candidates'],
+        horizon=config['horizon'],
+        use_cem=config['use_cem'],
+        num_cem_iters=config['num_cem_iters'],
+        num_rollouts=config['num_rollouts'],
+    )
+
+    sampler = Sampler(
+        env=env,
+        policy=policy,
+        n_parallel=config['n_parallel'],
+        max_path_length=config['max_path_length'],
+        num_rollouts=config['num_rollouts'],
+    )
+
+    sample_processor = ModelSampleProcessor(recurrent=True)
+
+    algo = Trainer(
+        env=env,
+        policy=policy,
+        dynamics_model=dynamics_model,
+        sampler=sampler,
+        sample_processor=sample_processor,
+        n_itr=config['n_itr'],
+        initial_random_samples=config['initial_random_samples'],
+        dynamics_model_max_epochs=config['dynamic_model_epochs'],
+        config=config,
+    )
+    algo.train()
+
+
+config = {
+    # Environment
+    'env': HalfCheetahEnv,
+    'task': None,
+
+    # Policy
+    'n_candidates': 500,
+    'horizon': 10,
+    'use_cem': False,
+    'num_cem_iters': 5,
+    'discount': 1.,
+
+    # Sampling
+    'max_path_length': 1000,
+    'num_rollouts': 5,
+    'initial_random_samples': True,
+
+    # Training
+    'n_itr': 50,
+    'learning_rate': 1e-2,
+    'batch_size': 10,
+    'backprop_steps': 100,
+    'dynamic_model_epochs': 50,
+    'valid_split_ratio': 0.1,
+    'rolling_average_persitency': 0.99,
+
+    # Dynamics Model
+    'cell_type': 'lstm',
+    'hidden_sizes': (256,),
+
+    # Other
+    'n_parallel': 5,
+}
+
+
+if __name__ == '__main__':
+    p = argparse.ArgumentParser()
+    p.add_argument('--n_itr', type=int, default=None)
+    p.add_argument('--exp_name', type=str, default='')
+    args = p.parse_args()
+    if args.n_itr:
+        config['n_itr'] = args.n_itr
+    config['exp_name'] = args.exp_name
+    run_experiment(config)
