@@ -38,8 +38,10 @@ def _cheetah_joint(**kw):
     return JointSpec(**base)
 
 
-def _cheetah_tree():
-    """The cheetah body tree shared by the three cheetah environments."""
+def _cheetah_tree(torso_z=0.7):
+    """The cheetah body tree shared by the three cheetah environments.
+    The hfield variant spawns higher (reference half_cheetah_hfield.xml:55:
+    torso pos z=1)."""
     bfoot = BodySpec(
         name='bfoot', pos=(-.28, 0, -.14),
         joints=[_cheetah_joint(name='bfoot', range=(-.4, .785),
@@ -81,7 +83,7 @@ def _cheetah_tree():
                              axisangle=(0, 1, 0, .52), size=(.046, .133))],
         children=[fshin])
     torso = BodySpec(
-        name='torso', pos=(0, 0, .7),
+        name='torso', pos=(0, 0, torso_z),
         joints=[
             JointSpec(type=SLIDE, name='rootx', axis=(1, 0, 0)),
             JointSpec(type=SLIDE, name='rootz', axis=(0, 0, 1)),
@@ -133,7 +135,7 @@ def half_cheetah_hfield_spec() -> ModelSpec:
         option=OptionSpec(timestep=0.01, gravity=(0, 0, -9.81),
                           integrator=EULER),
         world_geoms=[floor],
-        bodies=[_cheetah_tree()],
+        bodies=[_cheetah_tree(torso_z=1.0)],
         actuators=_cheetah_actuators(),
         hfields=[HFieldSpec(name='floor', nrow=528, ncol=500,
                             size=(10, 10, 0.1, 0.1))],
