@@ -1,0 +1,116 @@
+"""Replay a trained snapshot (reference experiment_utils/sim_policy.py).
+
+Loads params.pkl + params.json from an experiment directory, rebuilds the
+env/model/policy, and re-runs the MPC policy with optional online adaptation
+— headless on TPU/CPU; writes the trajectory (qpos sequence + rewards) to
+.npz for offline visualization (tools/render_trajectory.py) instead of
+opening a MuJoCo viewer window.
+"""
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np  # noqa: E402
+
+from learning_to_adapt_tpu.envs import (  # noqa: E402
+    AntEnv, Arm7DofEnv, HalfCheetahBlocksEnv, HalfCheetahEnv,
+    HalfCheetahHFieldEnv, normalize)
+from learning_to_adapt_tpu.models import (  # noqa: E402
+    MetaMLPDynamicsModel, MLPDynamicsModel, RNNDynamicsModel)
+from learning_to_adapt_tpu.policies import (  # noqa: E402
+    MPCController, RNNMPCController)
+from learning_to_adapt_tpu.samplers import Sampler  # noqa: E402
+
+ENV_CLASSES = {c.__name__: c for c in
+               (HalfCheetahEnv, HalfCheetahHFieldEnv, HalfCheetahBlocksEnv,
+                AntEnv, Arm7DofEnv)}
+
+
+def load_experiment(exp_dir):
+    with open(os.path.join(exp_dir, 'params.json')) as f:
+        config = json.load(f)
+    with open(os.path.join(exp_dir, 'params.pkl'), 'rb') as f:
+        snapshot = pickle.load(f)
+
+    env_name = config['env']
+    if isinstance(env_name, dict):
+        env_name = env_name.get('$class', '').split('.')[-1]
+    env_cls = ENV_CLASSES[env_name.split('.')[-1]]
+    env = normalize(env_cls(reset_every_episode=True,
+                            task=config.get('task')))
+
+    if 'meta_batch_size' in config:
+        model = MetaMLPDynamicsModel(
+            'dyn_model', env, meta_batch_size=config['meta_batch_size'],
+            inner_learning_rate=config['inner_learning_rate'],
+            hidden_sizes=tuple(config['hidden_sizes_model']),
+            batch_size=config['adapt_batch_size'])
+        policy_cls = MPCController
+        adapt_batch_size = config.get('adapt_batch_size')
+        recurrent = False
+    elif 'cell_type' in config:
+        model = RNNDynamicsModel(
+            'dyn_model', env, hidden_sizes=tuple(config['hidden_sizes']),
+            cell_type=config['cell_type'],
+            backprop_steps=config['backprop_steps'],
+            batch_size=config['batch_size'])
+        policy_cls = RNNMPCController
+        adapt_batch_size = None
+        recurrent = True
+    else:
+        model = MLPDynamicsModel(
+            'dyn_model', env, hidden_sizes=tuple(config['hidden_sizes']),
+            batch_size=config['batch_size'])
+        policy_cls = MPCController
+        adapt_batch_size = None
+        recurrent = False
+
+    model.load_state_dict(snapshot['dynamics_model'])
+    policy = policy_cls(
+        'policy', env, model,
+        discount=config.get('discount', 1.0),
+        n_candidates=config['n_candidates'],
+        horizon=config['horizon'],
+        use_cem=config.get('use_cem', False),
+        num_cem_iters=config.get('num_cem_iters', 5))
+    return env, model, policy, config, adapt_batch_size
+
+
+def rollout(env, policy, model, max_path_length=1000, num_rollouts=1,
+            adapt_batch_size=None, seed=0):
+    """Re-run the policy through the fused on-device engine (replaces the
+    reference's render loop, samplers/utils.py:4-56)."""
+    sampler = Sampler(env=env, policy=policy, num_rollouts=num_rollouts,
+                      max_path_length=max_path_length,
+                      adapt_batch_size=adapt_batch_size, seed=seed)
+    sampler._episode_idx = 1  # replay with tasks active
+    return sampler.obtain_samples()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('exp_dir', type=str)
+    p.add_argument('--max_path_length', type=int, default=1000)
+    p.add_argument('--num_rollouts', type=int, default=1)
+    p.add_argument('--out', type=str, default=None)
+    p.add_argument('--seed', type=int, default=0)
+    args = p.parse_args()
+
+    env, model, policy, config, adapt_bs = load_experiment(args.exp_dir)
+    paths = rollout(env, policy, model,
+                    max_path_length=args.max_path_length,
+                    num_rollouts=args.num_rollouts,
+                    adapt_batch_size=adapt_bs, seed=args.seed)
+    returns = paths['rewards'].sum(axis=1)
+    print(f'returns: {returns} (mean {returns.mean():.2f})')
+    out = args.out or os.path.join(args.exp_dir, 'replay.npz')
+    np.savez_compressed(out, **paths)
+    print(f'trajectory saved to {out}')
+
+
+if __name__ == '__main__':
+    main()

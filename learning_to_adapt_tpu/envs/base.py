@@ -150,6 +150,21 @@ class TPUEnv:
         hi = jnp.asarray(self.model.act_ctrlrange[:, 1], self.dtype)
         return lo, hi
 
+    @property
+    def action_space(self):
+        """rllab-style Box from actuator ctrlrange (reference
+        mujoco_env.py:64-69)."""
+        from learning_to_adapt_tpu.envs import spaces
+        return spaces.Box(self.model.act_ctrlrange[:, 0],
+                          self.model.act_ctrlrange[:, 1])
+
+    @property
+    def observation_space(self):
+        from learning_to_adapt_tpu.envs import spaces
+        big = 1e6
+        return spaces.Box(-big * np.ones(self.obs_dim),
+                          big * np.ones(self.obs_dim))
+
 
 class NormalizedEnv:
     """Action-normalizing wrapper: planner/policy space is [-1,1]^act_dim,
@@ -162,6 +177,12 @@ class NormalizedEnv:
 
     def __getattr__(self, name):
         return getattr(self.wrapped_env, name)
+
+    @property
+    def action_space(self):
+        from learning_to_adapt_tpu.envs import spaces
+        d = self.wrapped_env.act_dim
+        return spaces.Box(-np.ones(d), np.ones(d))
 
     def action_lo_hi(self):
         return self.wrapped_env.action_space_bounds

@@ -106,7 +106,8 @@ def make_rollout_fn(env, policy, dynamics_model, num_rollouts,
                 hist = (h_obs, h_act)
             out = dict(observations=obs_before, actions=actions,
                        rewards=rewards, dones=dones,
-                       next_observations=obs_after)
+                       next_observations=obs_after,
+                       qpos=states.phys.qpos)
             return (states, hist, hidden, key), out
 
         hist = (hist_obs, hist_act) if a_bs else None
