@@ -38,6 +38,7 @@ class EnvState:
     obs: Any          # (obs_dim,) current observation
     t: Any            # () int32 steps taken in current episode
     episode: Any      # () int32 episode counter (task resampling gate)
+    rng: Any          # per-env PRNG key (action noise & future stochasticity)
 
 
 class TPUEnv:
@@ -48,10 +49,11 @@ class TPUEnv:
     task_default: str = None
 
     def __init__(self, task=None, reset_every_episode=False, frame_skip=None,
-                 dtype=jnp.float32):
+                 action_noise=0.0, dtype=jnp.float32):
         task = None if task == 'None' else task
         self.task = task
         self.reset_every_episode = reset_every_episode
+        self.action_noise = action_noise
         self.dtype = dtype
         self.model: PhysicsModel = self._build_model()
         self.mm0: MutableModel = jax.tree.map(
@@ -100,7 +102,7 @@ class TPUEnv:
 
     # ---- generic machinery ----------------------------------------------
     def reset(self, key, episode_idx=0) -> EnvState:
-        kt, ks = jax.random.split(key)
+        kt, ks, kr = jax.random.split(key, 3)
         mm, task = self.mm0, self.default_task()
         if self.reset_every_episode and self.task is not None:
             # the reference runs the *first* episode with the nominal task and
@@ -119,13 +121,23 @@ class TPUEnv:
         state = EnvState(phys=phys, mm=mm, task=task,
                          obs=self.observe(data, phys),
                          t=jnp.zeros((), jnp.int32),
-                         episode=jnp.asarray(episode_idx, jnp.int32))
+                         episode=jnp.asarray(episode_idx, jnp.int32),
+                         rng=kr)
         return state
 
     def step(self, state: EnvState, action):
         """One env step: mask crippled actuators, frame_skip physics substeps,
         recompute observation/reward."""
         action = state.task['cripple_mask'] * action
+        rng = state.rng
+        if self.action_noise > 0:
+            # noise proportional to the action range (reference
+            # mujoco_env.py:151-158)
+            rng, sub = jax.random.split(rng)
+            lo, hi = self.action_space_bounds
+            noise = self.action_noise * \
+                jax.random.normal(sub, action.shape, action.dtype)
+            action = action + 0.5 * (hi - lo) * noise
         phys = state.phys
         for _ in range(self.frame_skip):
             phys = engine.step(self.model, state.mm, phys, action)
@@ -134,7 +146,7 @@ class TPUEnv:
         reward = self.step_reward(data, action)
         done = jnp.zeros((), bool)  # none of the five envs terminates early
         new_state = EnvState(phys=phys, mm=state.mm, task=state.task, obs=obs,
-                             t=state.t + 1, episode=state.episode)
+                             t=state.t + 1, episode=state.episode, rng=rng)
         return new_state, obs, reward, done, {}
 
     # convenience accessors ------------------------------------------------
