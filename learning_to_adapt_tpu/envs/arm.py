@@ -60,6 +60,16 @@ class Arm7DofEnv(TPUEnv):
         reward_ctrl = -jnp.sum(jnp.square(act), axis=-1)
         return reward_dist + 0.01 * 0.5 * reward_ctrl
 
+    def log_diagnostics(self, paths, prefix=''):
+        """Final distance-to-target stats (obs[-3:] is object-target)."""
+        import numpy as np
+        from learning_to_adapt_tpu.utils import logging as logger
+        obs = paths['observations'] if isinstance(paths, dict) else \
+            np.stack([p['observations'] for p in paths])
+        dist = np.linalg.norm(obs[:, -1, -3:], axis=-1)
+        logger.logkv(prefix + 'AverageFinalDistance', float(dist.mean()))
+        logger.logkv(prefix + 'MinFinalDistance', float(dist.min()))
+
     def sample_task(self, key, mm, task):
         obj = self.model.body_id('object')
         if self.task == 'cripple':

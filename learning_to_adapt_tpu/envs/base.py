@@ -149,6 +149,19 @@ class TPUEnv:
                              t=state.t + 1, episode=state.episode, rng=rng)
         return new_state, obs, reward, done, {}
 
+    def log_diagnostics(self, paths, prefix=''):
+        """Forward-progress stats over collected paths (reference
+        half_cheetah_env.py:92-100 / ant_env.py:194-200: progress is the
+        change in obs[-3], the COM x position)."""
+        from learning_to_adapt_tpu.utils import logging as logger
+        obs = paths['observations'] if isinstance(paths, dict) else \
+            np.stack([p['observations'] for p in paths])
+        progs = obs[:, -1, -3] - obs[:, 0, -3]
+        logger.logkv(prefix + 'AverageForwardProgress', float(progs.mean()))
+        logger.logkv(prefix + 'MaxForwardProgress', float(progs.max()))
+        logger.logkv(prefix + 'MinForwardProgress', float(progs.min()))
+        logger.logkv(prefix + 'StdForwardProgress', float(progs.std()))
+
     # convenience accessors ------------------------------------------------
     def body_comvel(self, data, body_name):
         return data.subtree_comvel[self.model.body_id(body_name)]

@@ -421,27 +421,48 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
     qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
     b_vec = (J @ qacc_smooth - aref) * active
 
-    # projected Gauss-Seidel: lax.scan over rows inside fori over sweeps
     kind_j = jnp.asarray(kind)
     nidx_j = jnp.asarray(nidx)
+    is_fric = kind_j == 1
 
-    def sweep(_, f):
-        def row(f, xs):
-            a_row, b_i, aii_inv, kd, mu_i, ni, i = xs
-            fi = f[i] - (a_row @ f + b_i) * aii_inv
-            fn = f[ni]
-            fi = jnp.where(kd == 0, jnp.maximum(fi, 0.0),
-                           jnp.clip(fi, -mu_i * fn, mu_i * fn))
-            return f.at[i].set(fi), None
+    def project(f):
+        fn = f[nidx_j]
+        return jnp.where(is_fric, jnp.clip(f, -mu * fn, mu * fn),
+                         jnp.maximum(f, 0.0))
 
-        f, _ = jax.lax.scan(
-            row, f,
-            (A, b_vec, a_ii_inv, kind_j, mu, nidx_j,
-             jnp.arange(nrows)))
-        return f
+    if model.solver == 'jacobi':
+        # projected Jacobi with under-relaxation: every sweep is ONE batched
+        # matvec (MXU-friendly; no sequential row scan inside the step). The
+        # diagonal regularizer R keeps A strictly diagonally-dominant enough
+        # for omega=0.5 on these shallow contact stacks; iterations are
+        # doubled relative to Gauss-Seidel to compensate.
+        omega = jnp.asarray(0.5, dtype)
 
-    f0 = jnp.zeros(nrows, dtype)
-    f = jax.lax.fori_loop(0, model.iterations, sweep, f0)
+        def sweep(_, f):
+            f = f - omega * (A @ f + b_vec) * a_ii_inv
+            return project(f)
+
+        f0 = jnp.zeros(nrows, dtype)
+        f = jax.lax.fori_loop(0, 2 * model.iterations, sweep, f0)
+    else:
+        # projected Gauss-Seidel: lax.scan over rows inside fori over sweeps
+        def sweep(_, f):
+            def row(f, xs):
+                a_row, b_i, aii_inv, kd, mu_i, ni, i = xs
+                fi = f[i] - (a_row @ f + b_i) * aii_inv
+                fn = f[ni]
+                fi = jnp.where(kd == 0, jnp.maximum(fi, 0.0),
+                               jnp.clip(fi, -mu_i * fn, mu_i * fn))
+                return f.at[i].set(fi), None
+
+            f, _ = jax.lax.scan(
+                row, f,
+                (A, b_vec, a_ii_inv, kind_j, mu, nidx_j,
+                 jnp.arange(nrows)))
+            return f
+
+        f0 = jnp.zeros(nrows, dtype)
+        f = jax.lax.fori_loop(0, model.iterations, sweep, f0)
     f = f * active
 
     return J.T @ f

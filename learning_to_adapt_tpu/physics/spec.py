@@ -112,7 +112,8 @@ class OptionSpec:
     timestep: float = 0.01
     gravity: Tuple[float, float, float] = (0., 0., -9.81)
     integrator: int = EULER
-    iterations: int = 30                  # PGS sweeps
+    iterations: int = 30                  # constraint-solver sweeps
+    solver: str = 'jacobi'                # 'jacobi' (batched) | 'pgs'
 
 
 @dataclass
@@ -144,6 +145,7 @@ class PhysicsModel:
     gravity: np.ndarray            # (3,)
     integrator: int
     iterations: int
+    solver: str
     frame_skip: int
     # bodies (index 0 = world)
     body_parent: np.ndarray        # (nbody,) int
@@ -636,6 +638,7 @@ def compile_spec(spec: ModelSpec) -> PhysicsModel:
         gravity=np.asarray(spec.option.gravity),
         integrator=spec.option.integrator,
         iterations=spec.option.iterations,
+        solver=spec.option.solver,
         frame_skip=spec.frame_skip,
         body_parent=body_parent, body_pos=body_pos, body_quat=body_quat,
         body_mass0=body_mass0, body_ipos=body_ipos, body_inertia=body_inertia,

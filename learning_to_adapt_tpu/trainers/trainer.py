@@ -49,6 +49,9 @@ class Trainer:
             t = time.time()
             samples = self.sample_processor.process_samples(
                 paths, log=True, log_prefix='EnvTrajs-')
+            base_env = getattr(self.env, 'wrapped_env', self.env)
+            if hasattr(base_env, 'log_diagnostics'):
+                base_env.log_diagnostics(paths, prefix='EnvTrajs-')
             logger.logkv('Time-EnvSampleProc', time.time() - t)
 
             t = time.time()

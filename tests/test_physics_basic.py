@@ -13,9 +13,18 @@ from learning_to_adapt_tpu.physics import (
     ActuatorSpec, BodySpec, GeomSpec, JointSpec, ModelSpec, OptionSpec,
     PhysicsState, compile_spec, default_mutable, forward, step)
 
-jax.config.update('jax_enable_x64', True)
-
 F64 = np.float64
+
+
+@pytest.fixture(autouse=True)
+def _x64_mode():
+    """Run physics-accuracy tests in float64, but restore the global flag so
+    the rest of the suite (f32 end-to-end paths) is unaffected — a
+    module-level update leaks into every other test file at collection."""
+    old = jax.config.jax_enable_x64
+    jax.config.update('jax_enable_x64', True)
+    yield
+    jax.config.update('jax_enable_x64', old)
 
 
 def make_state(model, qpos=None, qvel=None):
