@@ -18,7 +18,7 @@ from learning_to_adapt_tpu.utils import logging as logger
 
 class Sampler:
     def __init__(self, env, policy, num_rollouts, max_path_length,
-                 n_parallel=1, adapt_batch_size=None, seed=0):
+                 n_parallel=1, adapt_batch_size=None, seed=0, mesh=None):
         self.env = env
         self.policy = policy
         self.num_rollouts = num_rollouts
@@ -29,13 +29,26 @@ class Sampler:
         self._episode_idx = 0
         self._key = jax.random.PRNGKey(seed)
         self._fns = {}
+        # optional device mesh: the env/rollout axis shards over mesh axis
+        # 'env' (multi-chip / multi-host scale-out; parallel/mesh.py)
+        self.mesh = mesh
+        if mesh is not None:
+            n_env_shards = mesh.shape['env']
+            assert num_rollouts % n_env_shards == 0, (
+                f'num_rollouts {num_rollouts} must divide over the env mesh '
+                f'axis ({n_env_shards})')
 
     def _rollout_fn(self, random):
         if random not in self._fns:
-            self._fns[random] = make_rollout_fn(
+            fn = make_rollout_fn(
                 self.env, self.policy, self.policy.dynamics_model,
                 self.num_rollouts, self.max_path_length,
                 adapt_batch_size=self.adapt_batch_size, random=random)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                fn = jax.jit(fn, out_shardings=NamedSharding(self.mesh,
+                                                             P('env')))
+            self._fns[random] = fn
         return self._fns[random]
 
     def obtain_samples(self, log=False, log_prefix='', random=False):

@@ -101,6 +101,29 @@ class JSONWriter:
         self.file.close()
 
 
+class TensorBoardWriter:
+    """Optional TensorBoard events output (reference logger.py:148-181);
+    uses torch.utils.tensorboard, which is available without TF."""
+
+    def __init__(self, logdir):
+        from torch.utils.tensorboard import SummaryWriter
+        self.writer = SummaryWriter(log_dir=logdir)
+        self.step = 0
+
+    def writekvs(self, kvs):
+        step = int(kvs.get('Itr', self.step))
+        for k, v in kvs.items():
+            try:
+                self.writer.add_scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+        self.writer.flush()
+        self.step = step + 1
+
+    def close(self):
+        self.writer.close()
+
+
 class Logger:
     CURRENT = None
 
@@ -190,6 +213,11 @@ def configure(dir=None, format_strs=('stdout', 'log', 'csv'),
             writers.append(CSVWriter(osp.join(dir, 'progress.csv')))
         elif fmt == 'json':
             writers.append(JSONWriter(osp.join(dir, 'progress.json')))
+        elif fmt == 'tensorboard':
+            try:
+                writers.append(TensorBoardWriter(osp.join(dir, 'tb')))
+            except ImportError:
+                pass
     Logger.CURRENT = Logger(dir=dir, output_formats=writers,
                             snapshot_mode=snapshot_mode,
                             snapshot_gap=snapshot_gap)

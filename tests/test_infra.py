@@ -99,6 +99,32 @@ class TestSpaces:
         assert p.flat_dim == 4
 
 
+class TestShardedSampler:
+    def test_sharded_rollout_matches_single_device(self):
+        import pytest
+        if len(jax.devices()) < 8:
+            pytest.skip('needs 8 virtual devices')
+        from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize
+        from learning_to_adapt_tpu.models import MLPDynamicsModel
+        from learning_to_adapt_tpu.parallel.mesh import make_mesh
+        from learning_to_adapt_tpu.policies import MPCController
+        from learning_to_adapt_tpu.samplers import Sampler
+        env = normalize(HalfCheetahEnv(task=None))
+        model = MLPDynamicsModel('dyn', env, hidden_sizes=(16,))
+        policy = MPCController('p', env, model, n_candidates=4, horizon=2)
+        mesh = make_mesh(n_env=8, n_model=1)
+        kw = dict(env=env, policy=policy, num_rollouts=8, max_path_length=6,
+                  seed=3)
+        s_plain = Sampler(**kw)
+        s_shard = Sampler(**kw, mesh=mesh)
+        p_plain = s_plain.obtain_samples(random=True)
+        with mesh:
+            p_shard = s_shard.obtain_samples(random=True)
+        np.testing.assert_allclose(p_plain['observations'],
+                                   p_shard['observations'], rtol=1e-5,
+                                   atol=1e-5)
+
+
 class TestSharding:
     def test_dp_grad_step_on_mesh(self):
         import optax
