@@ -190,6 +190,11 @@ class TPUEnv:
         return spaces.Box(-big * np.ones(self.obs_dim),
                           big * np.ones(self.obs_dim))
 
+    @property
+    def spec(self):
+        from learning_to_adapt_tpu.envs.env_spec import EnvSpec
+        return EnvSpec(self.observation_space, self.action_space)
+
 
 class NormalizedEnv:
     """Action-normalizing wrapper: planner/policy space is [-1,1]^act_dim,

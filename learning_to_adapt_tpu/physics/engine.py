@@ -159,43 +159,50 @@ def _contacts(model: PhysicsModel, mm: MutableModel, gpos, gmat):
             meta['condim'].append(max(int(model.geom_condim[g1]),
                                       int(model.geom_condim[g2])))
 
+    # each kind's kernel is vmapped over its (static) pair list: one fused
+    # batched kernel per kind instead of one op-chain per pair
     for kind, pairs in model.pair_groups:
+        i1 = pairs[:, 0]
+        i2 = pairs[:, 1]
+        p1, m1, s1 = gpos[i1], gmat[i1], mm.geom_size[i1]
+        p2, m2, s2 = gpos[i2], gmat[i2], mm.geom_size[i2]
+        if kind == 'plane_sphere':
+            d, p, n = jax.vmap(coll.plane_sphere)(p1, m1, p2, s2[:, 0])
+        elif kind == 'plane_capsule':
+            d, p, n = jax.vmap(coll.plane_capsule)(p1, m1, p2, m2, s2[:, 0],
+                                                   s2[:, 1])
+        elif kind == 'hfield_sphere':
+            d, p, n = jax.vmap(
+                lambda a, b, c: coll.hfield_sphere(
+                    a, mm.hfield_size, mm.hfield_row, b, c))(p1, p2, s2[:, 0])
+        elif kind == 'hfield_capsule':
+            d, p, n = jax.vmap(
+                lambda a, b, c, r, h: coll.hfield_capsule(
+                    a, mm.hfield_size, mm.hfield_row, b, c, r, h))(
+                p1, p2, m2, s2[:, 0], s2[:, 1])
+        elif kind == 'sphere_sphere':
+            d, p, n = jax.vmap(coll.sphere_sphere)(p1, s1[:, 0], p2, s2[:, 0])
+        elif kind == 'sphere_capsule':
+            d, p, n = jax.vmap(coll.sphere_capsule)(p1, s1[:, 0], p2, m2,
+                                                    s2[:, 0], s2[:, 1])
+        elif kind == 'capsule_capsule':
+            d, p, n = jax.vmap(coll.capsule_capsule)(p1, m1, s1[:, 0],
+                                                     s1[:, 1], p2, m2,
+                                                     s2[:, 0], s2[:, 1])
+        elif kind == 'capsule_box':
+            d, p, n = jax.vmap(coll.capsule_box)(p1, m1, s1[:, 0], s1[:, 1],
+                                                 p2, m2, s2[:, :3])
+        elif kind == 'sphere_box':
+            d, p, n = jax.vmap(coll.sphere_box)(p1, s1[:, 0], p2, m2,
+                                                s2[:, :3])
+        else:
+            raise ValueError(kind)
+        n_pts = d.shape[1]
+        dists.append(d.reshape(-1))
+        poss.append(p.reshape(-1, 3))
+        normals.append(n.reshape(-1, 3))
         for g1, g2 in pairs:
-            g1, g2 = int(g1), int(g2)
-            s1 = mm.geom_size[g1]
-            s2 = mm.geom_size[g2]
-            if kind == 'plane_sphere':
-                d, p, n = coll.plane_sphere(gpos[g1], gmat[g1], gpos[g2], s2[0])
-            elif kind == 'plane_capsule':
-                d, p, n = coll.plane_capsule(gpos[g1], gmat[g1], gpos[g2],
-                                             gmat[g2], s2[0], s2[1])
-            elif kind == 'hfield_sphere':
-                d, p, n = coll.hfield_sphere(gpos[g1], mm.hfield_size,
-                                             mm.hfield_row, gpos[g2], s2[0])
-            elif kind == 'hfield_capsule':
-                d, p, n = coll.hfield_capsule(gpos[g1], mm.hfield_size,
-                                              mm.hfield_row, gpos[g2],
-                                              gmat[g2], s2[0], s2[1])
-            elif kind == 'sphere_sphere':
-                d, p, n = coll.sphere_sphere(gpos[g1], s1[0], gpos[g2], s2[0])
-            elif kind == 'sphere_capsule':
-                d, p, n = coll.sphere_capsule(gpos[g1], s1[0], gpos[g2],
-                                              gmat[g2], s2[0], s2[1])
-            elif kind == 'capsule_capsule':
-                d, p, n = coll.capsule_capsule(gpos[g1], gmat[g1], s1[0], s1[1],
-                                               gpos[g2], gmat[g2], s2[0], s2[1])
-            elif kind == 'capsule_box':
-                d, p, n = coll.capsule_box(gpos[g1], gmat[g1], s1[0], s1[1],
-                                           gpos[g2], gmat[g2], s2[:3])
-            elif kind == 'sphere_box':
-                d, p, n = coll.sphere_box(gpos[g1], s1[0], gpos[g2], gmat[g2],
-                                          s2[:3])
-            else:
-                raise ValueError(kind)
-            dists.append(d)
-            poss.append(p)
-            normals.append(n)
-            push_meta(g1, g2, d.shape[0])
+            push_meta(int(g1), int(g2), n_pts)
 
     if not dists:
         z = jnp.zeros((0,), gpos.dtype)
@@ -323,68 +330,91 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
     qvel = state.qvel
     cdof = aux['cdof']
 
-    rows_j, rows_r, rows_solref, rows_solimp = [], [], [], []
-    rows_kind, rows_mu, rows_nidx = [], [], []
-
-    # ---- joint limit rows (reference relies on these heavily: cheetah leg
-    # stops, arm ranges; solreflimit/solimplimit in the XMLs) ----
+    # ---- static row structure (numpy, computed at trace time) ----
+    # joint limit rows: two per limited joint; J is a constant +-one-hot
+    lim_qadr, lim_sign, lim_bound, lim_j = [], [], [], []
+    lim_solref, lim_solimp = [], []
     for ji in range(model.njnt):
         if not model.jnt_limited[ji] or model.jnt_type[ji] == FREE:
             continue
         qadr, dadr = int(model.jnt_qposadr[ji]), int(model.jnt_dofadr[ji])
         lo, hi = model.jnt_range[ji]
-        e = jnp.zeros(model.nv, dtype).at[dadr].set(1.0)
-        for sign, r in ((1.0, state.qpos[qadr] - lo),
-                        (-1.0, hi - state.qpos[qadr])):
-            rows_j.append(sign * e)
-            rows_r.append(r)
-            rows_solref.append(jnp.asarray(model.jnt_solref_limit[ji], dtype))
-            rows_solimp.append(jnp.asarray(model.jnt_solimp_limit[ji], dtype))
-            rows_kind.append(0)
-            rows_mu.append(0.0)
-            rows_nidx.append(len(rows_kind) - 1)
+        for sign, bound in ((1.0, lo), (-1.0, hi)):
+            lim_qadr.append(qadr)
+            lim_sign.append(sign)
+            lim_bound.append(bound)
+            row = np.zeros(model.nv)
+            row[dadr] = sign
+            lim_j.append(row)
+            lim_solref.append(model.jnt_solref_limit[ji])
+            lim_solimp.append(model.jnt_solimp_limit[ji])
+    nlim = len(lim_qadr)
 
-    # ---- contact rows ----
+    # ---- contacts (vectorized narrow phase) ----
     gpos, gmat = _geom_frames(model, mm, aux['xpos'], aux['ximat'])
     dist, pos, normal, cmeta = _contacts(model, mm, gpos, gmat)
     ncon = dist.shape[0]
-    for ci in range(ncon):
-        b1, b2 = int(cmeta['body1'][ci]), int(cmeta['body2'][ci])
-        n = normal[ci]
-        jp = _point_jacobian(model, cdof, b2, pos[ci]) - \
-            _point_jacobian(model, cdof, b1, pos[ci])
-        margin = float(cmeta['margin'][ci])
-        r = dist[ci] - margin
-        nrow_idx = len(rows_kind)
-        rows_j.append(jp @ n)
-        rows_r.append(r)
-        rows_solref.append(jnp.asarray(cmeta['solref'][ci], dtype))
-        rows_solimp.append(jnp.asarray(cmeta['solimp'][ci], dtype))
-        rows_kind.append(0)
-        rows_mu.append(0.0)
-        rows_nidx.append(nrow_idx)
-        if int(cmeta['condim'][ci]) >= 3:
-            t1, t2 = _tangent_frame(n)
-            for t in (t1, t2):
-                rows_j.append(jp @ t)
-                rows_r.append(jnp.zeros((), dtype))
-                rows_solref.append(jnp.asarray(cmeta['solref'][ci], dtype))
-                rows_solimp.append(jnp.asarray(cmeta['solimp'][ci], dtype))
-                rows_kind.append(1)
-                rows_mu.append(float(cmeta['mu'][ci]))
-                rows_nidx.append(nrow_idx)
-
-    nrows = len(rows_kind)
-    if nrows == 0:
+    if nlim == 0 and ncon == 0:
         return jnp.zeros(model.nv, dtype)
 
-    J = jnp.stack(rows_j)                       # (nrows, nv)
-    r_pos = jnp.stack([jnp.asarray(r, dtype) for r in rows_r])
-    solref = jnp.stack(rows_solref)
-    solimp = jnp.stack(rows_solimp)
-    kind = np.asarray(rows_kind)                # static
-    mu = jnp.asarray(np.asarray(rows_mu), dtype)
-    nidx = np.asarray(rows_nidx)                # static
+    rows_j, rows_r = [], []
+    solref_np, solimp_np = [], []
+    kind_list, mu_list, nidx_list = [], [], []
+
+    if nlim:
+        q_l = state.qpos[np.asarray(lim_qadr)]
+        r_lim = np.asarray(lim_sign) * (q_l - np.asarray(lim_bound))
+        rows_j.append(jnp.asarray(np.stack(lim_j), dtype))
+        rows_r.append(r_lim.astype(dtype))
+        solref_np.extend(lim_solref)
+        solimp_np.extend(lim_solimp)
+        kind_list.extend([0] * nlim)
+        mu_list.extend([0.0] * nlim)
+        nidx_list.extend(range(nlim))
+
+    if ncon:
+        # point jacobians for ALL contacts in one shot:
+        # Jp[c, k, :] = (cdof_lin[k] + cdof_ang[k] x pos[c]) * mask_diff[c, k]
+        bd = model.body_dof.astype(np.float64)
+        mask_diff = (bd[cmeta['body2']] - bd[cmeta['body1']])  # (ncon, nv)
+        jp = (cdof[None, :, 3:] +
+              jnp.cross(cdof[None, :, :3], pos[:, None, :]))
+        jp = jp * jnp.asarray(mask_diff, dtype)[:, :, None]    # (ncon,nv,3)
+
+        j_n = jnp.einsum('cki,ci->ck', jp, normal)             # (ncon, nv)
+        r_con = dist - jnp.asarray(cmeta['margin'], dtype)
+
+        rows_j.append(j_n)
+        rows_r.append(r_con)
+        solref_np.extend(list(cmeta['solref']))
+        solimp_np.extend(list(cmeta['solimp']))
+        kind_list.extend([0] * ncon)
+        mu_list.extend([0.0] * ncon)
+        normal_row_of_contact = [nlim + c for c in range(ncon)]
+        nidx_list.extend(normal_row_of_contact)
+
+        # friction rows for contacts with condim >= 3 (static subset)
+        fric_c = np.nonzero(cmeta['condim'] >= 3)[0]
+        if fric_c.size:
+            t1, t2 = _tangent_frame(normal[fric_c])
+            jp_f = jp[fric_c]
+            for t in (t1, t2):
+                rows_j.append(jnp.einsum('cki,ci->ck', jp_f, t))
+                rows_r.append(jnp.zeros(fric_c.size, dtype))
+                solref_np.extend(list(cmeta['solref'][fric_c]))
+                solimp_np.extend(list(cmeta['solimp'][fric_c]))
+                kind_list.extend([1] * fric_c.size)
+                mu_list.extend(list(cmeta['mu'][fric_c]))
+                nidx_list.extend(nlim + c for c in fric_c)
+
+    J = jnp.concatenate(rows_j, axis=0)          # (nrows, nv)
+    r_pos = jnp.concatenate(rows_r)
+    solref = jnp.asarray(np.asarray(solref_np), dtype)
+    solimp = jnp.asarray(np.asarray(solimp_np), dtype)
+    kind = np.asarray(kind_list)                 # static
+    mu = jnp.asarray(np.asarray(mu_list), dtype)
+    nidx = np.asarray(nidx_list)                 # static
+    nrows = len(kind_list)
 
     # active mask: normal/limit rows need r < 0; friction rows follow their
     # normal row

@@ -63,6 +63,12 @@ def run_experiment(config):
         num_rollouts=config['num_rollouts'],
     )
 
+    start_itr = 0
+    if config.get('resume'):
+        from learning_to_adapt_tpu.utils.checkpoint import resume_trainer
+        start_itr = resume_trainer(exp_dir, dynamics_model)
+        logger.log(f'Resuming from iteration {start_itr}')
+
     sample_processor = ModelSampleProcessor(recurrent=True)
 
     algo = Trainer(
@@ -72,6 +78,7 @@ def run_experiment(config):
         sampler=sampler,
         sample_processor=sample_processor,
         n_itr=config['n_itr'],
+        start_itr=start_itr,
         initial_random_samples=config['initial_random_samples'],
         dynamics_model_max_epochs=config['dynamic_model_epochs'],
         config=config,
@@ -118,7 +125,9 @@ if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--n_itr', type=int, default=None)
     p.add_argument('--exp_name', type=str, default='')
+    p.add_argument('--resume', action='store_true')
     args = p.parse_args()
+    config['resume'] = args.resume
     if args.n_itr:
         config['n_itr'] = args.n_itr
     config['exp_name'] = args.exp_name
