@@ -44,12 +44,21 @@ def init_mlp(key, in_dim: int, hidden_sizes: Sequence[int], out_dim: int,
 
 
 def mlp_forward(params, x, hidden_nonlinearity='relu',
-                output_nonlinearity=None):
+                output_nonlinearity=None, compute_dtype=None):
+    """Feed-forward pass. With compute_dtype=bfloat16 the matmuls run on the
+    MXU at 2x throughput (f32 accumulation via preferred_element_type; params
+    stay f32 — used for the planner's huge candidate batches where bf16
+    model predictions are well within the learned model's own error)."""
     act = activation(hidden_nonlinearity)
     out_act = activation(output_nonlinearity)
     n = len(params['w'])
+    out_dtype = x.dtype
     for i, (w, b) in enumerate(zip(params['w'], params['b'])):
-        x = x @ w + b
+        if compute_dtype is not None:
+            x = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                        preferred_element_type=out_dtype) + b
+        else:
+            x = x @ w + b
         x = act(x) if i < n - 1 else out_act(x)
     return x
 

@@ -36,7 +36,7 @@ class MetaMLPDynamicsModel:
                  batch_size=500, learning_rate=0.001, inner_learning_rate=0.1,
                  normalize_input=True, valid_split_ratio=0.2,
                  rolling_average_persitency=0.99, seed=0,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, planner_compute_dtype=jnp.bfloat16):
         self.name = name
         self.obs_dim = env.obs_dim
         self.act_dim = env.act_dim
@@ -51,6 +51,7 @@ class MetaMLPDynamicsModel:
         self.valid_split_ratio = valid_split_ratio
         self.rolling_average_persitency = rolling_average_persitency
         self.dtype = dtype
+        self.planner_compute_dtype = planner_compute_dtype
 
         key = jax.random.PRNGKey(seed)
         self.params = core.init_mlp(key, self.obs_dim + self.act_dim,
@@ -278,9 +279,14 @@ class MetaMLPDynamicsModel:
 
     # ------------------------------------------------------------- predict
     def predict_fn(self, params, norm, obs, act):
-        """Pure single-parameter-set prediction (params may be adapted)."""
+        """Pure single-parameter-set prediction (params may be adapted).
+        Planner-path matmuls run in bf16 (f32 accumulate); the adaptation
+        inner step and meta-training stay f32."""
         x = jnp.concatenate([norm.norm_obs(obs), norm.norm_act(act)], axis=-1)
-        return obs + norm.denorm_delta(self._forward(params, x))
+        delta = core.mlp_forward(params, x, self.hidden_nonlinearity,
+                                 self.output_nonlinearity,
+                                 self.planner_compute_dtype)
+        return obs + norm.denorm_delta(delta)
 
     def predict_adapted_fn(self, adapted_params, norm, obs, act):
         """obs/act: (n_env, n, d) routed to per-env adapted params."""

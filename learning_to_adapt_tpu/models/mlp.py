@@ -48,7 +48,8 @@ class MLPDynamicsModel:
                  hidden_nonlinearity='relu', output_nonlinearity=None,
                  batch_size=500, learning_rate=0.001, normalize_input=True,
                  valid_split_ratio=0.2, rolling_average_persitency=0.99,
-                 n_members=1, seed=0, dtype=jnp.float32):
+                 n_members=1, seed=0, dtype=jnp.float32,
+                 planner_compute_dtype=jnp.bfloat16):
         self.name = name
         self.obs_dim = env.obs_dim
         self.act_dim = env.act_dim
@@ -62,6 +63,7 @@ class MLPDynamicsModel:
         self.rolling_average_persitency = rolling_average_persitency
         self.n_members = n_members
         self.dtype = dtype
+        self.planner_compute_dtype = planner_compute_dtype
 
         key = jax.random.PRNGKey(seed)
         in_dim = self.obs_dim + self.act_dim
@@ -209,22 +211,23 @@ class MLPDynamicsModel:
         return fn
 
     # -------------------------------------------------------------- predict
-    def _forward_normalized(self, params, norm, obs, act):
+    def _forward_normalized(self, params, norm, obs, act, compute_dtype=None):
         """Normalized-space forward: returns normalized delta prediction."""
         x = jnp.concatenate([norm.norm_obs(obs), norm.norm_act(act)], axis=-1)
         if self.n_members > 1:
             # vmap over the member axis; inputs broadcast to all members
             return jax.vmap(lambda p: core.mlp_forward(
-                p, x, self.hidden_nonlinearity,
-                self.output_nonlinearity))(params)
+                p, x, self.hidden_nonlinearity, self.output_nonlinearity,
+                compute_dtype))(params)
         return core.mlp_forward(params, x, self.hidden_nonlinearity,
-                                self.output_nonlinearity)
+                                self.output_nonlinearity, compute_dtype)
 
     def predict_fn(self, params, norm, obs, act):
         """Pure jittable prediction: obs' = obs + denorm(f(norm(obs,act))).
-        With an ensemble, each input row is routed to a random... no —
-        ensemble mean (deterministic, planner-friendly)."""
-        delta_n = self._forward_normalized(params, norm, obs, act)
+        Ensembles return the member mean (deterministic, planner-friendly).
+        Runs the matmuls in the planner compute dtype (bf16 by default)."""
+        delta_n = self._forward_normalized(params, norm, obs, act,
+                                           self.planner_compute_dtype)
         if self.n_members > 1:
             delta_n = jnp.mean(delta_n, axis=0)
         return obs + norm.denorm_delta(delta_n)
