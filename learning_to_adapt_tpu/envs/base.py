@@ -199,11 +199,54 @@ class TPUEnv:
 class NormalizedEnv:
     """Action-normalizing wrapper: planner/policy space is [-1,1]^act_dim,
     rescaled and clipped to the env bounds (reference
-    envs/normalized_env.py:126-134; obs/reward normalization are off by
-    default there and rewards pass through unscaled — preserved)."""
+    envs/normalized_env.py:126-134).
 
-    def __init__(self, env: TPUEnv):
+    Optional running mean/std normalization of observations and rewards
+    (reference normalized_env.py:90-106) — off by default, matching the
+    reference run scripts; when enabled it applies on the host-facing step
+    path (the fused on-device sampler always consumes raw observations, as
+    the reference's model pipeline does). The reference's `scale_reward`
+    argument is ignored there via a hard-coded 1 (normalized_env.py:48) —
+    preserved."""
+
+    def __init__(self, env: TPUEnv, scale_reward=1.0,
+                 normalize_obs=False, normalize_reward=False,
+                 obs_alpha=0.001, reward_alpha=0.001):
         self.wrapped_env = env
+        self._scale_reward = 1  # reference quirk: argument ignored
+        self._normalize_obs = normalize_obs
+        self._normalize_reward = normalize_reward
+        self._obs_alpha = obs_alpha
+        self._obs_mean = np.zeros(env.obs_dim)
+        self._obs_var = np.ones(env.obs_dim)
+        self._reward_alpha = reward_alpha
+        self._reward_mean = 0.0
+        self._reward_var = 1.0
+
+    def _update_obs_estimate(self, obs):
+        o = np.asarray(obs)
+        a = self._obs_alpha
+        self._obs_mean = (1 - a) * self._obs_mean + a * o
+        self._obs_var = (1 - a) * self._obs_var + \
+            a * np.square(o - self._obs_mean)
+
+    def _update_reward_estimate(self, reward):
+        a = self._reward_alpha
+        r = float(reward)
+        self._reward_mean = (1 - a) * self._reward_mean + a * r
+        self._reward_var = (1 - a) * self._reward_var + \
+            a * np.square(r - self._reward_mean)
+
+    def maybe_normalize(self, obs, reward):
+        """Host-path running normalization (no-op unless enabled)."""
+        if self._normalize_obs:
+            self._update_obs_estimate(obs)
+            obs = (np.asarray(obs) - self._obs_mean) / \
+                (np.sqrt(self._obs_var) + 1e-8)
+        if self._normalize_reward:
+            self._update_reward_estimate(reward)
+            reward = float(reward) / (np.sqrt(self._reward_var) + 1e-8)
+        return obs, reward
 
     def __getattr__(self, name):
         return getattr(self.wrapped_env, name)
