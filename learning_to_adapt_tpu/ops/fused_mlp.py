@@ -1,0 +1,98 @@
+"""Pallas TPU kernel: fused multi-layer MLP forward.
+
+The planner's inner loop is `horizon` passes of a (n_candidates *
+n_envs)-row MLP (policies/planners.py). Under XLA each layer's activation
+(e.g. 131072 x 512 f32 = 256 MB at bench sizes) round-trips HBM between
+matmuls; this kernel tiles the row dimension and keeps every inter-layer
+activation in VMEM, so each tile streams through all layers back-to-back on
+the MXU — HBM traffic drops from (L+1) activations to exactly one read of x
+and one write of y (weights stay VMEM-resident across the whole grid).
+
+Forward only (the planner never differentiates through it); training paths
+keep the plain XLA forward. Falls back to XLA when shapes don't fit the
+kernel's assumptions (layers too large for VMEM, CPU backend, ...).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# row tile: multiple of the f32 sublane (8); 2048 rows x 512 features f32
+# = 4 MB activation per tile (weights are bf16 and VMEM-resident)
+_TILE_ROWS = 2048
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16 MB/core VMEM
+
+
+def _kernel(n_layers, hidden_nonlinearity, x_ref, *refs):
+    """refs = w_0, b_0, ..., w_{L-1}, b_{L-1}, out_ref."""
+    out_ref = refs[-1]
+    h = x_ref[:]
+    for i in range(n_layers):
+        w = refs[2 * i][:]        # bf16, pre-cast by the caller
+        b = refs[2 * i + 1][:]
+        h = jnp.dot(h.astype(jnp.bfloat16), w,
+                    preferred_element_type=jnp.float32) + b
+        if i < n_layers - 1:
+            if hidden_nonlinearity == 'relu':
+                h = jnp.maximum(h, 0.0)
+            elif hidden_nonlinearity == 'tanh':
+                h = jnp.tanh(h)
+            elif hidden_nonlinearity == 'swish':
+                h = h * jax.nn.sigmoid(h)
+            elif hidden_nonlinearity == 'sigmoid':
+                h = jax.nn.sigmoid(h)
+    out_ref[:] = h
+
+
+def _weights_fit_vmem(params):
+    bytes_w = sum(int(np.prod(w.shape)) * 4 + int(np.prod(b.shape)) * 4
+                  for w, b in zip(params['w'], params['b']))
+    # plus one activation tile per layer boundary (conservatively the max)
+    max_feat = max(int(w.shape[1]) for w in params['w'])
+    act = _TILE_ROWS * max_feat * 4 * 2
+    return bytes_w + act < _VMEM_BUDGET
+
+
+def supported(params, backend=None):
+    backend = backend or jax.default_backend()
+    if backend != 'tpu':
+        return False
+    return _weights_fit_vmem(params)
+
+
+@functools.partial(jax.jit, static_argnames=('hidden_nonlinearity',))
+def fused_mlp_forward(params, x, hidden_nonlinearity='relu'):
+    """x: (N, in_dim) f32. Returns (N, out_dim) f32. Pads N up to the row
+    tile internally. Output nonlinearity is identity (the dynamics models
+    use output_nonlinearity=None)."""
+    n = x.shape[0]
+    n_layers = len(params['w'])
+    out_dim = params['w'][-1].shape[1]
+    n_pad = ((n + _TILE_ROWS - 1) // _TILE_ROWS) * _TILE_ROWS
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    grid = (n_pad // _TILE_ROWS,)
+
+    in_specs = [pl.BlockSpec((_TILE_ROWS, x.shape[1]),
+                             lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    args = [x]
+    for w, b in zip(params['w'], params['b']):
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, b.shape[0]), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w.astype(jnp.bfloat16))
+        args.append(b.reshape(1, -1))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_layers, hidden_nonlinearity),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_dim), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((_TILE_ROWS, out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(*args)
+    return out[:n]
