@@ -322,11 +322,17 @@ class MetaMLPDynamicsModel:
     def adapted(self):
         return self._adapted_params is not None
 
-    def state_dict(self):
-        return dict(params=jax.device_get(self.params),
-                    opt_state=jax.device_get(self.opt_state),
-                    normalizer=jax.device_get(self.normalizer),
-                    train=self._train, test=self._test)
+    def state_dict(self, include_data=False):
+        """Snapshot pytrees. Dataset buffers are excluded by default (the
+        reference's Serializable snapshots also carry only parameters +
+        normalization, meta_mlp_dynamics.py:434-445); pass include_data=True
+        for full-fidelity resume."""
+        sd = dict(params=jax.device_get(self.params),
+                  opt_state=jax.device_get(self.opt_state),
+                  normalizer=jax.device_get(self.normalizer))
+        if include_data:
+            sd.update(train=self._train, test=self._test)
+        return sd
 
     def load_state_dict(self, sd):
         self.params = jax.device_put(sd['params'])
