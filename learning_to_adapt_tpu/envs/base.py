@@ -141,6 +141,17 @@ class TPUEnv:
         phys = state.phys
         for _ in range(self.frame_skip):
             phys = engine.step(self.model, state.mm, phys, action)
+        # instability recovery (the MuJoCo runtime warns and carries on when
+        # the simulation diverges; under aggressive MPC exploitation the
+        # solver can blow up — recover to the pre-step pose with zeroed
+        # velocities so non-finite states never poison rollout datasets)
+        bad = jnp.logical_or(
+            jnp.logical_not(jnp.all(jnp.isfinite(phys.qpos)) &
+                            jnp.all(jnp.isfinite(phys.qvel))),
+            jnp.max(jnp.abs(phys.qvel)) > 5e3)
+        phys = engine.PhysicsState(
+            qpos=jnp.where(bad, state.phys.qpos, phys.qpos),
+            qvel=jnp.where(bad, jnp.zeros_like(phys.qvel), phys.qvel))
         data = engine.forward(self.model, state.mm, phys)
         obs = self.observe(data, phys)
         reward = self.step_reward(data, action)

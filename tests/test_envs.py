@@ -109,6 +109,29 @@ class TestCheetahPhysicsSanity:
         assert np.isfinite(np.asarray(state.phys.qpos)).all()
 
 
+class TestInstabilityRecovery:
+    def test_extreme_velocities_never_nan(self):
+        """MPC exploitation can drive the solver into divergence; env.step
+        must recover (pre-step pose, zeroed qvel) instead of emitting
+        non-finite observations that poison rollout datasets."""
+        import dataclasses
+        env = HalfCheetahEnv(task=None)
+        keys = jax.random.split(jax.random.PRNGKey(0), 8)
+        states = jax.jit(jax.vmap(env.reset))(keys)
+        qvel = jax.random.uniform(jax.random.PRNGKey(1), (8, 9),
+                                  minval=-150., maxval=150.)
+        states = dataclasses.replace(
+            states, phys=dataclasses.replace(states.phys, qvel=qvel))
+        stepf = jax.jit(jax.vmap(env.step))
+        key = jax.random.PRNGKey(2)
+        for _ in range(30):
+            key, sub = jax.random.split(key)
+            acts = jax.random.uniform(sub, (8, 6), minval=-1., maxval=1.)
+            states, obs, r, d, _ = stepf(states, acts)
+            assert np.isfinite(np.asarray(obs)).all()
+            assert np.isfinite(np.asarray(r)).all()
+
+
 class TestNormalizedEnv:
     def test_action_rescale(self):
         env = normalize(AntEnv(task=None))
