@@ -59,6 +59,34 @@ class TestMLP:
         assert np.isfinite(pred).all()
 
 
+class TestOnRealDynamics:
+    def test_mlp_learns_cheetah_dynamics(self):
+        """The model pipeline (normalization, delta targets, fit loop) must
+        beat the persistence baseline on real physics transitions."""
+        import jax
+        from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize
+        from learning_to_adapt_tpu.models import MLPDynamicsModel
+        from learning_to_adapt_tpu.policies import MPCController
+        from learning_to_adapt_tpu.samplers import Sampler
+        env = normalize(HalfCheetahEnv(task=None))
+        model = MLPDynamicsModel('dyn', env, hidden_sizes=(128, 128),
+                                 batch_size=128)
+        policy = MPCController('p', env, model, n_candidates=4, horizon=2)
+        sampler = Sampler(env=env, policy=policy, num_rollouts=8,
+                          max_path_length=100, seed=1)
+        paths = sampler.obtain_samples(random=True)
+        obs = paths['observations'].reshape(-1, env.obs_dim)
+        act = paths['actions'].reshape(-1, env.act_dim)
+        nxt = paths['next_observations'].reshape(-1, env.obs_dim)
+        tr = slice(0, 700)
+        te = slice(700, 800)
+        model.fit(obs[tr], act[tr], nxt[tr], epochs=40)
+        pred = model.predict(obs[te], act[te])
+        mse = float(np.mean((pred - nxt[te]) ** 2))
+        persistence = float(np.mean((obs[te] - nxt[te]) ** 2))
+        assert mse < persistence * 0.5, (mse, persistence)
+
+
 class TestMetaMLP:
     def _multitask_paths(self, n_paths=8, t_len=64, obs_dim=4, act_dim=2):
         """Each path has its own dynamics (A scaled differently) — the task
