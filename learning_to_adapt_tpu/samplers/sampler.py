@@ -40,15 +40,11 @@ class Sampler:
 
     def _rollout_fn(self, random):
         if random not in self._fns:
-            fn = make_rollout_fn(
+            self._fns[random] = make_rollout_fn(
                 self.env, self.policy, self.policy.dynamics_model,
                 self.num_rollouts, self.max_path_length,
-                adapt_batch_size=self.adapt_batch_size, random=random)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                fn = jax.jit(fn, out_shardings=NamedSharding(self.mesh,
-                                                             P('env')))
-            self._fns[random] = fn
+                adapt_batch_size=self.adapt_batch_size, random=random,
+                mesh=self.mesh)
         return self._fns[random]
 
     def obtain_samples(self, log=False, log_prefix='', random=False):
