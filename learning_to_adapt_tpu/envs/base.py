@@ -145,10 +145,15 @@ class TPUEnv:
         # the simulation diverges; under aggressive MPC exploitation the
         # solver can blow up — recover to the pre-step pose with zeroed
         # velocities so non-finite states never poison rollout datasets)
+        # threshold: healthy joint velocities in this suite stay < ~50 rad/s;
+        # 150 marks a physically meaningless state without clipping real
+        # motion. Keeping such outliers out of rollouts is what protects the
+        # meta-training loss from divergence (deltas of 1e3+ blow up the
+        # second-order MAML objective).
         bad = jnp.logical_or(
             jnp.logical_not(jnp.all(jnp.isfinite(phys.qpos)) &
                             jnp.all(jnp.isfinite(phys.qvel))),
-            jnp.max(jnp.abs(phys.qvel)) > 5e3)
+            jnp.max(jnp.abs(phys.qvel)) > 150.0)
         phys = engine.PhysicsState(
             qpos=jnp.where(bad, state.phys.qpos, phys.qpos),
             qvel=jnp.where(bad, jnp.zeros_like(phys.qvel), phys.qvel))

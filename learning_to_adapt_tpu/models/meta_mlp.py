@@ -56,7 +56,11 @@ class MetaMLPDynamicsModel:
         key = jax.random.PRNGKey(seed)
         self.params = core.init_mlp(key, self.obs_dim + self.act_dim,
                                     self.hidden_sizes, self.obs_dim, dtype)
-        self.optimizer = optax.adam(learning_rate)
+        # global-norm clipping protects the fit loop from occasional
+        # outlier transitions (crash states); the reference's plain Adam
+        # diverges irrecoverably on such data
+        self.optimizer = optax.chain(optax.clip_by_global_norm(100.0),
+                                     optax.adam(learning_rate))
         self.opt_state = self.optimizer.init(self.params)
         self.normalizer = Normalizer.init(self.obs_dim, self.act_dim, dtype)
 

@@ -56,7 +56,11 @@ class RNNDynamicsModel:
         key, sub = jax.random.split(key)
         out = core.init_mlp(sub, in_dim, (), self.obs_dim, dtype)
         self.params = {'cells': cells, 'out': out}
-        self.optimizer = optax.adam(learning_rate)
+        # global-norm clipping protects the fit loop from occasional
+        # outlier transitions (crash states); the reference's plain Adam
+        # diverges irrecoverably on such data
+        self.optimizer = optax.chain(optax.clip_by_global_norm(100.0),
+                                     optax.adam(learning_rate))
         self.opt_state = self.optimizer.init(self.params)
         self.normalizer = Normalizer.init(self.obs_dim, self.act_dim, dtype)
 
