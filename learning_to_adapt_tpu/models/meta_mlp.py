@@ -30,6 +30,15 @@ from learning_to_adapt_tpu.models.normalizer import Normalizer
 PATH_CHUNK = 64  # dataset capacity grows in path-count chunks (jit stability)
 
 
+def _bucket_pow2(n):
+    """Round a step/batch count to the nearest power of two (>=1) so the
+    jitted epoch program recompiles O(log) times as the dataset grows,
+    instead of every iteration."""
+    if n <= 1:
+        return 1
+    return int(2 ** round(np.log2(n)))
+
+
 class MetaMLPDynamicsModel:
     def __init__(self, name, env, hidden_sizes=(512, 512), meta_batch_size=10,
                  hidden_nonlinearity='relu', output_nonlinearity=None,
@@ -155,11 +164,10 @@ class MetaMLPDynamicsModel:
         tr_dev = jax.device_put(pad_paths(self._train, cap_tr, p_tr))
         te_dev = jax.device_put(pad_paths(self._test, cap_te, p_te))
 
-        steps_per_epoch = max(int(p_tr * t_len /
-                                  (self.meta_batch_size * self.batch_size *
-                                   2)), 1)
-        steps_test = max(int(p_te * t_len /
-                             (self.meta_batch_size * self.batch_size * 2)), 1)
+        steps_per_epoch = _bucket_pow2(max(int(
+            p_tr * t_len / (self.meta_batch_size * self.batch_size * 2)), 1))
+        steps_test = _bucket_pow2(max(int(
+            p_te * t_len / (self.meta_batch_size * self.batch_size * 2)), 1))
         epoch_fn = self._get_epoch_fn(cap_tr, cap_te, t_len, steps_per_epoch,
                                       steps_test)
 

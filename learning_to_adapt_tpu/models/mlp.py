@@ -27,6 +27,15 @@ from learning_to_adapt_tpu.models.normalizer import Normalizer
 PAD_CHUNK = 16384
 
 
+def _bucket_pow2(n):
+    """Round a step/batch count to the nearest power of two (>=1) so the
+    jitted epoch program recompiles O(log) times as the dataset grows,
+    instead of every iteration."""
+    if n <= 1:
+        return 1
+    return int(2 ** round(np.log2(n)))
+
+
 def _pad_rows(arrs, count, chunk=PAD_CHUNK):
     """Pad numpy row-arrays to a multiple of `chunk`; returns padded arrays
     + weight vector."""
@@ -134,7 +143,7 @@ class MLPDynamicsModel:
         (te_obs, te_act, te_delta), te_w = _pad_rows(
             [self._test['obs'], self._test['act'], self._test['delta']],
             n_test)
-        n_batches = max(n_train // self.batch_size, 1)
+        n_batches = _bucket_pow2(max(n_train // self.batch_size, 1))
         epoch_fn = self._get_epoch_fn(tr_obs.shape[0], te_obs.shape[0],
                                       n_batches)
 

@@ -25,6 +25,15 @@ from learning_to_adapt_tpu.models.normalizer import Normalizer
 PATH_CHUNK = 64
 
 
+def _bucket_pow2(n):
+    """Round a step/batch count to the nearest power of two (>=1) so the
+    jitted epoch program recompiles O(log) times as the dataset grows,
+    instead of every iteration."""
+    if n <= 1:
+        return 1
+    return int(2 ** round(np.log2(n)))
+
+
 class RNNDynamicsModel:
     def __init__(self, name, env, hidden_sizes=(256,), cell_type='lstm',
                  learning_rate=0.001, batch_size=10, backprop_steps=50,
@@ -168,7 +177,7 @@ class RNNDynamicsModel:
         tr_dev = jax.device_put(tuple(tr_arrs) + (tr_w,))
         te_dev = jax.device_put(tuple(te_arrs) + (te_w,))
 
-        n_batches = max(p_tr // self.batch_size, 1)
+        n_batches = _bucket_pow2(max(p_tr // self.batch_size, 1))
         epoch_fn = self._get_epoch_fn(cap_tr, cap_te, t_len, n_batches)
 
         key = jax.random.PRNGKey(self._rng.randint(1 << 31))
