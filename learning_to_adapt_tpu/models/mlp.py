@@ -14,7 +14,6 @@ independently initialized members — the EP-like axis sharded across chips in
 the multi-host configuration (BASELINE.json config #2).
 """
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Multi-host: call jax.distributed.initialize() before building the mesh; the
 same code then spans hosts (DCN for cross-slice collectives).
 """
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ bodies/joints unroll at trace time, so XLA sees straight-line code over small
 dense tensors — MXU-friendly batched matmuls once vmapped.
 """
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +28,7 @@ import numpy as np
 from learning_to_adapt_tpu.physics import collision as coll
 from learning_to_adapt_tpu.physics import maths
 from learning_to_adapt_tpu.physics.spec import (
-    BOX, CAPSULE, EULER, FREE, HFIELD, HINGE, PLANE, RK4, SLIDE, SPHERE,
-    MutableModel, PhysicsModel)
+    EULER, FREE, HINGE, RK4, SLIDE, MutableModel, PhysicsModel)
 
 
 @jax.tree_util.register_dataclass

@@ -17,7 +17,6 @@ equivalent is a small Python spec (bodies / joints / geoms / actuators) that is
 Builtin environment models are defined programmatically (envs/model_defs.py);
 an MJCF-subset XML loader on top of this spec lives in physics/mjcf.py.
 """
-import dataclasses
 from dataclasses import dataclass, field
 from typing import Any, List, Optional, Tuple
 

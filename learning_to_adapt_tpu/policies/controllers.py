@@ -6,8 +6,6 @@ path is the pure planner functions in planners.py — the fused sampler calls
 those directly; the class methods here wrap them for host-driven use
 (replay/sim_policy) with numpy I/O.
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,12 +12,10 @@ HBM; `vmap` covers candidates x envs, so the model forward is a single
 or per-env-adapted (GrBAL) models plug in unchanged. Recurrent variants
 thread hidden-state pytrees (ReBAL, reference rnn_mpc_controller.py).
 """
-import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _repeat_env_major(x, n):

@@ -25,7 +25,6 @@ sampler/sampler.py:44-139); tasks resample per call via the env reset
 """
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from learning_to_adapt_tpu.models.meta_mlp import MetaMLPDynamicsModel
 from learning_to_adapt_tpu.models.rnn import RNNDynamicsModel

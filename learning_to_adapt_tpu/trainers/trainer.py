@@ -5,10 +5,7 @@ when initial_random_samples) -> process -> fit dynamics model -> log named
 timing segments (Time-EnvSampling / Time-EnvSampleProc / Time-ModelFit,
 reference mb_trainer.py:75-103) -> snapshot.
 """
-import pickle
 import time
-
-import numpy as np
 
 from learning_to_adapt_tpu.utils import logging as logger
 
