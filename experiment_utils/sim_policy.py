@@ -91,6 +91,34 @@ def rollout(env, policy, model, max_path_length=1000, num_rollouts=1,
     return sampler.obtain_samples()
 
 
+def check_native(env, paths, n_steps=None):
+    """Cross-check the replayed device trajectory against the native C++
+    physics oracle (native/ltao_physics.cc): re-executes each recorded
+    action from the recorded previous (qpos, qvel) through the oracle and
+    reports the worst one-step qpos deviation. Valid for nominal dynamics
+    (task=None) — task-perturbed MutableModels live on device inside the
+    rollout and are not recorded."""
+    from learning_to_adapt_tpu.native import NativePhysics
+    base = env.wrapped_env
+    nat = NativePhysics(base.model)
+    qpos, qvel, acts = paths['qpos'][0], paths['qvel'][0], paths['actions'][0]
+    lo = np.asarray(base.model.act_ctrlrange[:, 0])
+    hi = np.asarray(base.model.act_ctrlrange[:, 1])
+    T = n_steps or min(len(acts) - 1, 200)
+    worst = 0.0
+    for t in range(1, 1 + T):
+        ctrl = np.clip(lo + (np.asarray(acts[t]) + 1.0) * 0.5 * (hi - lo),
+                       lo, hi)
+        qp = np.asarray(qpos[t - 1], np.float64)
+        qv = np.asarray(qvel[t - 1], np.float64)
+        for _ in range(base.frame_skip):
+            qp, qv = nat.step(qp, qv, ctrl)
+        worst = max(worst, float(np.max(np.abs(qp - np.asarray(qpos[t])))))
+    print(f'native oracle one-step qpos deviation over {T} steps: '
+          f'{worst:.3e} (f32 device vs f64 C++; <1e-2 expected)')
+    return worst
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('exp_dir', type=str)
@@ -98,6 +126,9 @@ def main():
     p.add_argument('--num_rollouts', type=int, default=1)
     p.add_argument('--out', type=str, default=None)
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--check-native', action='store_true',
+                   help='verify the trajectory against the C++ oracle '
+                        '(nominal dynamics only)')
     args = p.parse_args()
 
     env, model, policy, config, adapt_bs = load_experiment(args.exp_dir)
@@ -107,6 +138,12 @@ def main():
                     adapt_batch_size=adapt_bs, seed=args.seed)
     returns = paths['rewards'].sum(axis=1)
     print(f'returns: {returns} (mean {returns.mean():.2f})')
+    if args.check_native:
+        if config.get('task'):
+            print('check-native skipped: task-perturbed dynamics are not '
+                  'recorded in the trajectory (run with task=None)')
+        else:
+            check_native(env, paths)
     out = args.out or os.path.join(args.exp_dir, 'replay.npz')
     np.savez_compressed(out, **paths)
     print(f'trajectory saved to {out}')

@@ -140,7 +140,7 @@ def make_rollout_fn(env, policy, dynamics_model, num_rollouts,
             out = dict(observations=obs_before, actions=actions,
                        rewards=rewards, dones=dones,
                        next_observations=obs_after,
-                       qpos=states.phys.qpos)
+                       qpos=states.phys.qpos, qvel=states.phys.qvel)
             return (states, hist, hidden, key), out
 
         carry, outs = jax.lax.scan(step_fn, carry, t0 + jnp.arange(seg))

@@ -1,0 +1,1066 @@
+// Native (C++) CPU physics oracle for learning_to_adapt_tpu.
+//
+// A float64 host-side mirror of the JAX engine
+// (learning_to_adapt_tpu/physics/engine.py). The TPU compute path is XLA —
+// on TPU, compiled JAX *is* the native layer — but the framework keeps this
+// independent C++ implementation of the same articulated-body pipeline as
+//   (a) a numerical oracle: tests/test_native_oracle.py checks the jitted
+//       engine against it step-for-step in float64, the role MuJoCo's closed
+//       C library (libmujoco131.so, reference mujoco_py/mjlib.py:8-17)
+//       played for the reference implementation, and
+//   (b) a fast single-env stepper for host-side replay
+//       (experiment_utils/sim_policy.py) with zero JIT latency.
+//
+// Pipeline per step (identical, op for op, to engine.py):
+//   1. forward kinematics -> body frames, per-dof world motion subspace cdof
+//   2. body spatial velocities, RNE bias forces, CRBA mass matrix
+//   3. narrow-phase collisions over the static candidate-pair list
+//   4. soft-constraint assembly (contacts + joint limits, MuJoCo
+//      solref/solimp impedance) and projected Jacobi / Gauss-Seidel
+//   5. semi-implicit Euler with implicit joint damping, or RK4
+//
+// Build: g++ -O2 -shared -fPIC -std=c++17 -o libltao_physics.so ltao_physics.cc
+// The Python ctypes binding lives in learning_to_adapt_tpu/native/oracle.py.
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace {
+
+using std::vector;
+
+// ---------------------------------------------------------------------------
+// small dense linear algebra (nv <= ~30, nrows <= ~100: plain loops suffice)
+// ---------------------------------------------------------------------------
+
+struct Vec3 {
+  double x = 0, y = 0, z = 0;
+  Vec3() = default;
+  Vec3(double a, double b, double c) : x(a), y(b), z(c) {}
+  Vec3 operator+(const Vec3& o) const { return {x + o.x, y + o.y, z + o.z}; }
+  Vec3 operator-(const Vec3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+  Vec3 operator*(double s) const { return {x * s, y * s, z * s}; }
+  double dot(const Vec3& o) const { return x * o.x + y * o.y + z * o.z; }
+  Vec3 cross(const Vec3& o) const {
+    return {y * o.z - z * o.y, z * o.x - x * o.z, x * o.y - y * o.x};
+  }
+  double norm() const { return std::sqrt(dot(*this)); }
+  double operator[](int i) const { return i == 0 ? x : (i == 1 ? y : z); }
+};
+
+struct Mat3 {
+  double m[3][3] = {{0}};
+  Vec3 col(int k) const { return {m[0][k], m[1][k], m[2][k]}; }
+  Vec3 mul(const Vec3& v) const {
+    return {m[0][0] * v.x + m[0][1] * v.y + m[0][2] * v.z,
+            m[1][0] * v.x + m[1][1] * v.y + m[1][2] * v.z,
+            m[2][0] * v.x + m[2][1] * v.y + m[2][2] * v.z};
+  }
+  Vec3 tmul(const Vec3& v) const {  // transpose * v
+    return {m[0][0] * v.x + m[1][0] * v.y + m[2][0] * v.z,
+            m[0][1] * v.x + m[1][1] * v.y + m[2][1] * v.z,
+            m[0][2] * v.x + m[1][2] * v.y + m[2][2] * v.z};
+  }
+  Mat3 mul(const Mat3& o) const {
+    Mat3 r;
+    for (int i = 0; i < 3; i++)
+      for (int j = 0; j < 3; j++)
+        for (int k = 0; k < 3; k++) r.m[i][j] += m[i][k] * o.m[k][j];
+    return r;
+  }
+  Mat3 mulT(const Mat3& o) const {  // this * o^T
+    Mat3 r;
+    for (int i = 0; i < 3; i++)
+      for (int j = 0; j < 3; j++)
+        for (int k = 0; k < 3; k++) r.m[i][j] += m[i][k] * o.m[j][k];
+    return r;
+  }
+};
+
+struct Quat {
+  double w = 1, x = 0, y = 0, z = 0;
+  Quat() = default;
+  Quat(double a, double b, double c, double d) : w(a), x(b), y(c), z(d) {}
+  Quat mul(const Quat& b) const {
+    return {w * b.w - x * b.x - y * b.y - z * b.z,
+            w * b.x + x * b.w + y * b.z - z * b.y,
+            w * b.y - x * b.z + y * b.w + z * b.x,
+            w * b.z + x * b.y - y * b.x + z * b.w};
+  }
+  Quat normalized() const {
+    double n = std::sqrt(w * w + x * x + y * y + z * z);
+    return {w / n, x / n, y / n, z / n};
+  }
+  Vec3 rotate(const Vec3& v) const {
+    Vec3 qv{x, y, z};
+    Vec3 t = qv.cross(v) * 2.0;
+    return v + t * w + qv.cross(t);
+  }
+  Mat3 toMat() const {
+    Mat3 r;
+    r.m[0][0] = 1 - 2 * (y * y + z * z);
+    r.m[0][1] = 2 * (x * y - w * z);
+    r.m[0][2] = 2 * (x * z + w * y);
+    r.m[1][0] = 2 * (x * y + w * z);
+    r.m[1][1] = 1 - 2 * (x * x + z * z);
+    r.m[1][2] = 2 * (y * z - w * x);
+    r.m[2][0] = 2 * (x * z - w * y);
+    r.m[2][1] = 2 * (y * z + w * x);
+    r.m[2][2] = 1 - 2 * (x * x + y * y);
+    return r;
+  }
+};
+
+Quat axis_angle_quat(const Vec3& axis, double angle) {
+  double s = std::sin(0.5 * angle);
+  return {std::cos(0.5 * angle), axis.x * s, axis.y * s, axis.z * s};
+}
+
+// integrate orientation with body-frame angular velocity (maths.py
+// quat_integrate)
+Quat quat_integrate(const Quat& q, const Vec3& omega_local, double dt) {
+  double angle = omega_local.norm();
+  Vec3 axis = omega_local * (1.0 / (angle > 1e-12 ? angle : 1.0));
+  Quat dq = axis_angle_quat(axis, angle * dt);
+  return q.mul(dq).normalized();
+}
+
+// spatial motion vector (angular, linear-at-origin); force (torque, force)
+struct Spatial {
+  Vec3 a, l;
+  Spatial operator+(const Spatial& o) const { return {a + o.a, l + o.l}; }
+  Spatial operator*(double s) const { return {a * s, l * s}; }
+  double dot(const Spatial& o) const { return a.dot(o.a) + l.dot(o.l); }
+};
+
+Spatial motion_cross(const Spatial& v, const Spatial& m) {
+  return {v.a.cross(m.a), v.a.cross(m.l) + v.l.cross(m.a)};
+}
+Spatial motion_cross_force(const Spatial& v, const Spatial& f) {
+  return {v.a.cross(f.a) + v.l.cross(f.l), v.a.cross(f.l)};
+}
+
+// 6x6 world-origin spatial inertia: [[Ic - m cx cx, m cx], [-m cx, m I]]
+struct SpatialInertia {
+  double I[6][6] = {{0}};
+  static SpatialInertia make(double mass, const Vec3& com, const Mat3& ic) {
+    SpatialInertia s;
+    double cx[3][3] = {{0, -com.z, com.y}, {com.z, 0, -com.x},
+                       {-com.y, com.x, 0}};
+    double cxcx[3][3] = {{0}};
+    for (int i = 0; i < 3; i++)
+      for (int j = 0; j < 3; j++)
+        for (int k = 0; k < 3; k++) cxcx[i][j] += cx[i][k] * cx[k][j];
+    for (int i = 0; i < 3; i++)
+      for (int j = 0; j < 3; j++) {
+        s.I[i][j] = ic.m[i][j] - mass * cxcx[i][j];
+        s.I[i][j + 3] = mass * cx[i][j];
+        s.I[i + 3][j] = -mass * cx[i][j];
+        s.I[i + 3][j + 3] = (i == j) ? mass : 0.0;
+      }
+    return s;
+  }
+  Spatial mul(const Spatial& m) const {
+    double in[6] = {m.a.x, m.a.y, m.a.z, m.l.x, m.l.y, m.l.z};
+    double out[6] = {0};
+    for (int i = 0; i < 6; i++)
+      for (int j = 0; j < 6; j++) out[i] += I[i][j] * in[j];
+    return {{out[0], out[1], out[2]}, {out[3], out[4], out[5]}};
+  }
+  void add(const SpatialInertia& o) {
+    for (int i = 0; i < 6; i++)
+      for (int j = 0; j < 6; j++) I[i][j] += o.I[i][j];
+  }
+};
+
+// dense Cholesky A = L L^T (lower) + triangular solves
+struct Chol {
+  int n;
+  vector<double> L;  // row-major
+  Chol(const vector<double>& A, int n_) : n(n_), L(A) {
+    for (int j = 0; j < n; j++) {
+      double d = L[j * n + j];
+      for (int k = 0; k < j; k++) d -= L[j * n + k] * L[j * n + k];
+      d = std::sqrt(std::max(d, 1e-300));
+      L[j * n + j] = d;
+      for (int i = j + 1; i < n; i++) {
+        double s = L[i * n + j];
+        for (int k = 0; k < j; k++) s -= L[i * n + k] * L[j * n + k];
+        L[i * n + j] = s / d;
+      }
+    }
+  }
+  void solve(const double* b, double* x) const {
+    vector<double> y(n);
+    for (int i = 0; i < n; i++) {
+      double s = b[i];
+      for (int k = 0; k < i; k++) s -= L[i * n + k] * y[k];
+      y[i] = s / L[i * n + i];
+    }
+    for (int i = n - 1; i >= 0; i--) {
+      double s = y[i];
+      for (int k = i + 1; k < n; k++) s -= L[k * n + i] * x[k];
+      x[i] = s / L[i * n + i];
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// model
+// ---------------------------------------------------------------------------
+
+enum JointType { FREE = 0, HINGE = 1, SLIDE = 2 };
+enum Integrator { EULER = 0, RK4 = 1 };
+// pair kinds; codes fixed by the Python binding (oracle.py KIND_CODES)
+enum PairKind {
+  PLANE_SPHERE = 0, PLANE_CAPSULE = 1, HFIELD_SPHERE = 2, HFIELD_CAPSULE = 3,
+  SPHERE_SPHERE = 4, SPHERE_CAPSULE = 5, CAPSULE_CAPSULE = 6,
+  CAPSULE_BOX = 7, SPHERE_BOX = 8,
+};
+
+struct Model {
+  // every field arrives as an f64 array via ltao_model_set; integers are
+  // round-tripped through double (exact below 2^53)
+  std::map<std::string, vector<double>> f;
+
+  int nq = 0, nv = 0, nu = 0, nbody = 0, ngeom = 0, njnt = 0, npair = 0;
+  double timestep = 0.01;
+  int integrator = EULER, iterations = 30, solver = 0;  // 0 jacobi, 1 pgs
+  Vec3 gravity;
+
+  const vector<double>& a(const std::string& k) const { return f.at(k); }
+  int gi(const std::string& k, int i) const { return (int)f.at(k)[i]; }
+
+  int finalize() {
+    const char* req[] = {"nq", "nv", "nu", "nbody", "ngeom", "njnt",
+                         "timestep", "integrator", "iterations", "solver",
+                         "gravity", "body_parent", "body_pos", "body_quat",
+                         "body_ipos", "body_inertia", "jnt_type", "jnt_body",
+                         "jnt_pos", "jnt_axis", "jnt_range", "jnt_limited",
+                         "jnt_stiffness", "jnt_springref", "jnt_ref",
+                         "jnt_solref_limit", "jnt_solimp_limit",
+                         "jnt_qposadr", "jnt_dofadr", "dof_body", "dof_vsrc",
+                         "dof_armature", "geom_body", "geom_quat",
+                         "geom_friction", "geom_margin", "geom_solref",
+                         "geom_solimp", "geom_condim", "act_dofadr",
+                         "act_gear", "act_ctrlrange", "body_ancestor",
+                         "dof_ancestor", "body_dof"};
+    for (const char* k : req)
+      if (!f.count(k)) return -1;
+    nq = gi("nq", 0);
+    nv = gi("nv", 0);
+    nu = gi("nu", 0);
+    nbody = gi("nbody", 0);
+    ngeom = gi("ngeom", 0);
+    njnt = gi("njnt", 0);
+    npair = f.count("pair_kind") ? (int)f["pair_kind"].size() : 0;
+    timestep = f["timestep"][0];
+    integrator = gi("integrator", 0);
+    iterations = gi("iterations", 0);
+    solver = gi("solver", 0);
+    gravity = {f["gravity"][0], f["gravity"][1], f["gravity"][2]};
+    return 0;
+  }
+};
+
+// runtime-mutable fields (spec.py MutableModel), passed per call
+struct Mutable {
+  const double* body_mass;
+  const double* dof_damping;
+  const double* geom_size;  // (ngeom,3)
+  const double* geom_pos;   // (ngeom,3)
+  const double* xfrc;       // (nbody,6) world force,torque at body COM
+  const double* hf_size;    // (4,)
+  const double* hf_row;     // (hf_ncol,)
+  long hf_ncol;
+};
+
+// ---------------------------------------------------------------------------
+// forward kinematics (engine.py _fk)
+// ---------------------------------------------------------------------------
+
+struct FK {
+  vector<Vec3> xpos;
+  vector<Quat> xquat;
+  vector<Mat3> ximat;
+  vector<Spatial> cdof;  // (nv)
+};
+
+FK fk(const Model& m, const double* qpos) {
+  FK out;
+  out.xpos.assign(m.nbody, Vec3());
+  out.xquat.assign(m.nbody, Quat());
+  out.cdof.assign(m.nv, Spatial());
+
+  vector<vector<int>> body_joints(m.nbody);
+  for (int ji = 0; ji < m.njnt; ji++)
+    body_joints[m.gi("jnt_body", ji)].push_back(ji);
+
+  for (int b = 1; b < m.nbody; b++) {
+    int p = m.gi("body_parent", b);
+    Vec3 bp{m.a("body_pos")[b * 3], m.a("body_pos")[b * 3 + 1],
+            m.a("body_pos")[b * 3 + 2]};
+    Quat bq{m.a("body_quat")[b * 4], m.a("body_quat")[b * 4 + 1],
+            m.a("body_quat")[b * 4 + 2], m.a("body_quat")[b * 4 + 3]};
+    Vec3 pos = out.xpos[p] + out.xquat[p].rotate(bp);
+    Quat quat = out.xquat[p].mul(bq);
+    for (int ji : body_joints[b]) {
+      int jt = m.gi("jnt_type", ji);
+      int qadr = m.gi("jnt_qposadr", ji);
+      int dadr = m.gi("jnt_dofadr", ji);
+      if (jt == FREE) {
+        pos = {qpos[qadr], qpos[qadr + 1], qpos[qadr + 2]};
+        quat = Quat{qpos[qadr + 3], qpos[qadr + 4], qpos[qadr + 5],
+                    qpos[qadr + 6]}.normalized();
+        Mat3 r = quat.toMat();
+        for (int k = 0; k < 3; k++) {  // translational dofs, world axes
+          Vec3 e(k == 0 ? 1.0 : 0.0, k == 1 ? 1.0 : 0.0, k == 2 ? 1.0 : 0.0);
+          out.cdof[dadr + k] = {Vec3(), e};
+        }
+        for (int k = 0; k < 3; k++) {  // rotational dofs, body-local axes
+          Vec3 axw = r.col(k);
+          out.cdof[dadr + 3 + k] = {axw, pos.cross(axw)};
+        }
+      } else if (jt == SLIDE) {
+        Vec3 axl{m.a("jnt_axis")[ji * 3], m.a("jnt_axis")[ji * 3 + 1],
+                 m.a("jnt_axis")[ji * 3 + 2]};
+        Vec3 axw = quat.rotate(axl);
+        pos = pos + axw * (qpos[qadr] - m.a("jnt_ref")[ji]);
+        out.cdof[dadr] = {Vec3(), axw};
+      } else {  // HINGE
+        Vec3 axl{m.a("jnt_axis")[ji * 3], m.a("jnt_axis")[ji * 3 + 1],
+                 m.a("jnt_axis")[ji * 3 + 2]};
+        Vec3 jp{m.a("jnt_pos")[ji * 3], m.a("jnt_pos")[ji * 3 + 1],
+                m.a("jnt_pos")[ji * 3 + 2]};
+        Vec3 axw = quat.rotate(axl);
+        Vec3 anchor = pos + quat.rotate(jp);
+        double angle = qpos[qadr] - m.a("jnt_ref")[ji];
+        quat = quat.mul(axis_angle_quat(axl, angle));
+        pos = anchor - quat.rotate(jp);
+        out.cdof[dadr] = {axw, anchor.cross(axw)};
+      }
+    }
+    out.xpos[b] = pos;
+    out.xquat[b] = quat;
+  }
+  out.ximat.resize(m.nbody);
+  for (int b = 0; b < m.nbody; b++) out.ximat[b] = out.xquat[b].toMat();
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// smooth dynamics (engine.py smooth_dynamics)
+// ---------------------------------------------------------------------------
+
+struct Smooth {
+  vector<double> M;            // (nv*nv)
+  vector<double> qfrc_smooth;  // (nv)
+  FK k;
+  vector<Vec3> xipos;
+  vector<Spatial> body_vel;
+};
+
+Smooth smooth_dynamics(const Model& m, const Mutable& mm, const double* qpos,
+                       const double* qvel, const double* ctrl) {
+  Smooth s;
+  s.k = fk(m, qpos);
+  const auto& bd = m.a("body_dof");  // (nbody*nv) 0/1
+
+  // world COM and world-frame spatial inertias
+  s.xipos.resize(m.nbody);
+  vector<SpatialInertia> isp(m.nbody);
+  for (int b = 0; b < m.nbody; b++) {
+    Vec3 ip{m.a("body_ipos")[b * 3], m.a("body_ipos")[b * 3 + 1],
+            m.a("body_ipos")[b * 3 + 2]};
+    s.xipos[b] = s.k.xpos[b] + s.k.ximat[b].mul(ip);
+    Mat3 il;
+    for (int i = 0; i < 3; i++)
+      for (int j = 0; j < 3; j++)
+        il.m[i][j] = m.a("body_inertia")[b * 9 + i * 3 + j];
+    Mat3 iw = s.k.ximat[b].mul(il).mulT(s.k.ximat[b]);
+    isp[b] = SpatialInertia::make(mm.body_mass[b], s.xipos[b], iw);
+  }
+
+  // body spatial velocities
+  vector<Spatial> vel_dof(m.nv);
+  for (int k = 0; k < m.nv; k++) vel_dof[k] = s.k.cdof[k] * qvel[k];
+  s.body_vel.assign(m.nbody, Spatial());
+  for (int b = 0; b < m.nbody; b++)
+    for (int k = 0; k < m.nv; k++)
+      if (bd[b * m.nv + k] != 0.0)
+        s.body_vel[b] = s.body_vel[b] + vel_dof[k];
+
+  // RNE bias (qacc = 0, gravity as base acceleration)
+  Spatial a_grav{Vec3(), Vec3(-m.gravity.x, -m.gravity.y, -m.gravity.z)};
+  vector<Spatial> vdot_dof(m.nv);
+  for (int k = 0; k < m.nv; k++)
+    vdot_dof[k] = motion_cross(s.body_vel[m.gi("dof_vsrc", k)], vel_dof[k]);
+  vector<double> qfrc_bias(m.nv, 0.0);
+  for (int b = 0; b < m.nbody; b++) {
+    Spatial acc = a_grav;
+    for (int k = 0; k < m.nv; k++)
+      if (bd[b * m.nv + k] != 0.0) acc = acc + vdot_dof[k];
+    Spatial iv = isp[b].mul(s.body_vel[b]);
+    Spatial fb = isp[b].mul(acc) + motion_cross_force(s.body_vel[b], iv);
+    for (int k = 0; k < m.nv; k++)
+      if (bd[b * m.nv + k] != 0.0) qfrc_bias[k] += fb.dot(s.k.cdof[k]);
+  }
+
+  // CRBA
+  const auto& banc = m.a("body_ancestor");  // (nbody*nbody)
+  vector<SpatialInertia> ic(m.nbody);
+  for (int a2 = 0; a2 < m.nbody; a2++)
+    for (int b = 0; b < m.nbody; b++)
+      if (banc[a2 * m.nbody + b] != 0.0) ic[a2].add(isp[b]);
+  vector<Spatial> f_crb(m.nv);
+  for (int k = 0; k < m.nv; k++)
+    f_crb[k] = ic[m.gi("dof_body", k)].mul(s.k.cdof[k]);
+  const auto& danc = m.a("dof_ancestor");  // (nv*nv)
+  s.M.assign(m.nv * m.nv, 0.0);
+  for (int i = 0; i < m.nv; i++)
+    for (int j = 0; j < m.nv; j++)
+      if (danc[i * m.nv + j] != 0.0) {
+        double v = s.k.cdof[i].dot(f_crb[j]);
+        s.M[i * m.nv + j] = v;
+        s.M[j * m.nv + i] = v;
+      }
+  for (int k = 0; k < m.nv; k++)
+    s.M[k * m.nv + k] += m.a("dof_armature")[k];
+
+  // passive: damping + joint springs
+  vector<double> qfrc_passive(m.nv);
+  for (int k = 0; k < m.nv; k++)
+    qfrc_passive[k] = -mm.dof_damping[k] * qvel[k];
+  for (int ji = 0; ji < m.njnt; ji++) {
+    double kstiff = m.a("jnt_stiffness")[ji];
+    if (kstiff > 0 && m.gi("jnt_type", ji) != FREE) {
+      int qadr = m.gi("jnt_qposadr", ji), dadr = m.gi("jnt_dofadr", ji);
+      qfrc_passive[dadr] -= kstiff * (qpos[qadr] - m.a("jnt_springref")[ji]);
+    }
+  }
+
+  // actuation: motor gear torque with ctrl clamped to ctrlrange
+  vector<double> qfrc_act(m.nv, 0.0);
+  for (int u = 0; u < m.nu; u++) {
+    double lo = m.a("act_ctrlrange")[u * 2];
+    double hi = m.a("act_ctrlrange")[u * 2 + 1];
+    double c = std::min(std::max(ctrl[u], lo), hi);
+    qfrc_act[m.gi("act_dofadr", u)] += c * m.a("act_gear")[u];
+  }
+
+  // external wrenches (xfrc_applied: world force,torque at body COM)
+  vector<double> qfrc_applied(m.nv, 0.0);
+  for (int b = 0; b < m.nbody; b++) {
+    Vec3 frc{mm.xfrc[b * 6], mm.xfrc[b * 6 + 1], mm.xfrc[b * 6 + 2]};
+    Vec3 trq{mm.xfrc[b * 6 + 3], mm.xfrc[b * 6 + 4], mm.xfrc[b * 6 + 5]};
+    Spatial fe{trq + s.xipos[b].cross(frc), frc};
+    for (int k = 0; k < m.nv; k++)
+      if (bd[b * m.nv + k] != 0.0) qfrc_applied[k] += fe.dot(s.k.cdof[k]);
+  }
+
+  s.qfrc_smooth.resize(m.nv);
+  for (int k = 0; k < m.nv; k++)
+    s.qfrc_smooth[k] =
+        qfrc_act[k] + qfrc_passive[k] + qfrc_applied[k] - qfrc_bias[k];
+  return s;
+}
+
+// ---------------------------------------------------------------------------
+// narrow phase (collision.py), contacts in engine order
+// ---------------------------------------------------------------------------
+
+struct Contact {
+  double dist;
+  Vec3 pos, normal;
+};
+
+void sphere_sphere_raw(const Vec3& c1, double r1, const Vec3& c2, double r2,
+                       Contact* out) {
+  Vec3 d = c2 - c1;
+  double dc = d.norm();
+  Vec3 n = dc > 1e-9 ? d * (1.0 / dc) : Vec3{0, 0, 1};
+  out->dist = dc - r1 - r2;
+  out->pos = c1 + n * (r1 + 0.5 * out->dist);
+  out->normal = n;
+}
+
+void plane_sphere(const Vec3& ppos, const Mat3& pmat, const Vec3& c, double r,
+                  Contact* out) {
+  Vec3 n = pmat.col(2);
+  out->dist = n.dot(c - ppos) - r;
+  out->pos = c - n * (r + 0.5 * out->dist);
+  out->normal = n;
+}
+
+void hfield_sphere(const Vec3& hpos, const double* hsize, const double* hrow,
+                   long ncol, const Vec3& c, double r, Contact* out) {
+  double sx = hsize[0], sz = hsize[2];
+  double u = (c.x - hpos.x + sx) / (2 * sx) * (ncol - 1);
+  u = std::min(std::max(u, 0.0), ncol - 1.000001);
+  long i0 = (long)std::floor(u);
+  double frac = u - i0;
+  double h0 = hrow[i0];
+  double h1 = hrow[std::min(i0 + 1, ncol - 1)];
+  double z = hpos.z + (h0 + (h1 - h0) * frac) * sz;
+  double dx_cell = 2 * sx / (ncol - 1);
+  double slope = (h1 - h0) * sz / dx_cell;
+  Vec3 n{-slope, 0.0, 1.0};
+  n = n * (1.0 / n.norm());
+  Vec3 s{c.x, c.y, z};
+  out->dist = n.dot(c - s) - r;
+  out->pos = c - n * (r + 0.5 * out->dist);
+  out->normal = n;
+}
+
+Vec3 closest_on_segment(const Vec3& p, const Vec3& a, const Vec3& b) {
+  Vec3 ab = b - a;
+  double t = (p - a).dot(ab) / std::max(ab.dot(ab), 1e-12);
+  return a + ab * std::min(std::max(t, 0.0), 1.0);
+}
+
+void sphere_box_raw(const Vec3& c, double r, const Vec3& bpos,
+                    const Mat3& bmat, const Vec3& half, Contact* out) {
+  Vec3 cl = bmat.tmul(c - bpos);
+  Vec3 q{std::min(std::max(cl.x, -half.x), half.x),
+         std::min(std::max(cl.y, -half.y), half.y),
+         std::min(std::max(cl.z, -half.z), half.z)};
+  Vec3 delta = cl - q;
+  double d_out = delta.norm();
+  if (d_out > 1e-9) {
+    out->normal = bmat.mul(delta * (1.0 / d_out)) * -1.0;
+    out->dist = d_out - r;
+  } else {
+    double fd[3] = {half.x - std::fabs(cl.x), half.y - std::fabs(cl.y),
+                    half.z - std::fabs(cl.z)};
+    int k = 0;
+    if (fd[1] < fd[k]) k = 1;
+    if (fd[2] < fd[k]) k = 2;
+    double comp = cl[k];
+    double sign = comp > 0 ? 1.0 : (comp < 0 ? -1.0 : 1.0);
+    Vec3 nf(k == 0 ? sign : 0.0, k == 1 ? sign : 0.0, k == 2 ? sign : 0.0);
+    out->normal = bmat.mul(nf) * -1.0;
+    out->dist = -(fd[k] + r);
+  }
+  out->pos = c + out->normal * (r + 0.5 * out->dist);
+}
+
+// per-contact metadata mirrors engine.py push_meta
+struct ConMeta {
+  int body1, body2, condim;
+  double mu, margin;
+  double solref[2], solimp[3];
+};
+
+void contacts(const Model& m, const Mutable& mm, const FK& k,
+              vector<Contact>* out, vector<ConMeta>* meta) {
+  auto geom_frame = [&](int g, Vec3* pos, Mat3* mat) {
+    int b = m.gi("geom_body", g);
+    Vec3 gp{mm.geom_pos[g * 3], mm.geom_pos[g * 3 + 1],
+            mm.geom_pos[g * 3 + 2]};
+    *pos = k.xpos[b] + k.ximat[b].mul(gp);
+    Quat gq{m.a("geom_quat")[g * 4], m.a("geom_quat")[g * 4 + 1],
+            m.a("geom_quat")[g * 4 + 2], m.a("geom_quat")[g * 4 + 3]};
+    *mat = k.ximat[b].mul(gq.toMat());
+  };
+  for (int p = 0; p < m.npair; p++) {
+    int kind = m.gi("pair_kind", p);
+    int g1 = m.gi("pair_g1", p), g2 = m.gi("pair_g2", p);
+    Vec3 p1, p2;
+    Mat3 m1, m2;
+    geom_frame(g1, &p1, &m1);
+    geom_frame(g2, &p2, &m2);
+    const double* s1 = mm.geom_size + g1 * 3;
+    const double* s2 = mm.geom_size + g2 * 3;
+    Contact c1, c2;
+    int n_pts = 1;
+    switch (kind) {
+      case PLANE_SPHERE:
+        plane_sphere(p1, m1, p2, s2[0], &c1);
+        break;
+      case PLANE_CAPSULE: {
+        Vec3 axis = m2.col(2);
+        plane_sphere(p1, m1, p2 + axis * s2[1], s2[0], &c1);
+        plane_sphere(p1, m1, p2 - axis * s2[1], s2[0], &c2);
+        n_pts = 2;
+        break;
+      }
+      case HFIELD_SPHERE:
+        hfield_sphere(p1, mm.hf_size, mm.hf_row, mm.hf_ncol, p2, s2[0], &c1);
+        break;
+      case HFIELD_CAPSULE: {
+        Vec3 axis = m2.col(2);
+        hfield_sphere(p1, mm.hf_size, mm.hf_row, mm.hf_ncol,
+                      p2 + axis * s2[1], s2[0], &c1);
+        hfield_sphere(p1, mm.hf_size, mm.hf_row, mm.hf_ncol,
+                      p2 - axis * s2[1], s2[0], &c2);
+        n_pts = 2;
+        break;
+      }
+      case SPHERE_SPHERE:
+        sphere_sphere_raw(p1, s1[0], p2, s2[0], &c1);
+        break;
+      case SPHERE_CAPSULE: {
+        Vec3 axis = m2.col(2);
+        Vec3 q = closest_on_segment(p1, p2 - axis * s2[1], p2 + axis * s2[1]);
+        sphere_sphere_raw(p1, s1[0], q, s2[0], &c1);
+        break;
+      }
+      case CAPSULE_CAPSULE: {
+        Vec3 a1 = m1.col(2), a2 = m2.col(2);
+        Vec3 s1a = p1 - a1 * s1[1], s1b = p1 + a1 * s1[1];
+        Vec3 s2a = p2 - a2 * s2[1], s2b = p2 + a2 * s2[1];
+        Vec3 d1 = s1b - s1a, d2 = s2b - s2a, r = s1a - s2a;
+        double a = d1.dot(d1), e = d2.dot(d2), f2 = d2.dot(r);
+        double c = d1.dot(r), bb = d1.dot(d2);
+        double denom = std::max(a * e - bb * bb, 1e-12);
+        double s = std::min(std::max((bb * f2 - c * e) / denom, 0.0), 1.0);
+        double t = std::min(
+            std::max((bb * s + f2) / std::max(e, 1e-12), 0.0), 1.0);
+        s = std::min(std::max((bb * t - c) / std::max(a, 1e-12), 0.0), 1.0);
+        sphere_sphere_raw(s1a + d1 * s, s1[0], s2a + d2 * t, s2[0], &c1);
+        break;
+      }
+      case CAPSULE_BOX: {
+        Vec3 axis = m1.col(2);
+        Vec3 half{s2[0], s2[1], s2[2]};
+        sphere_box_raw(p1 + axis * s1[1], s1[0], p2, m2, half, &c1);
+        sphere_box_raw(p1 - axis * s1[1], s1[0], p2, m2, half, &c2);
+        n_pts = 2;
+        break;
+      }
+      case SPHERE_BOX: {
+        Vec3 half{s2[0], s2[1], s2[2]};
+        sphere_box_raw(p1, s1[0], p2, m2, half, &c1);
+        break;
+      }
+      default:
+        continue;
+    }
+    ConMeta cm;
+    cm.body1 = m.gi("geom_body", g1);
+    cm.body2 = m.gi("geom_body", g2);
+    cm.mu = std::max(m.a("geom_friction")[g1 * 3],
+                     m.a("geom_friction")[g2 * 3]);
+    cm.margin = std::max(m.a("geom_margin")[g1], m.a("geom_margin")[g2]);
+    cm.condim = std::max(m.gi("geom_condim", g1), m.gi("geom_condim", g2));
+    for (int q = 0; q < 2; q++)
+      cm.solref[q] = 0.5 * (m.a("geom_solref")[g1 * 2 + q] +
+                            m.a("geom_solref")[g2 * 2 + q]);
+    for (int q = 0; q < 3; q++)
+      cm.solimp[q] = 0.5 * (m.a("geom_solimp")[g1 * 3 + q] +
+                            m.a("geom_solimp")[g2 * 3 + q]);
+    out->push_back(c1);
+    meta->push_back(cm);
+    if (n_pts == 2) {
+      out->push_back(c2);
+      meta->push_back(cm);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// constraint forces (engine.py constraint_forces)
+// ---------------------------------------------------------------------------
+
+double impedance(const double* solimp, double r) {
+  double dmin = solimp[0], dmax = solimp[1], width = solimp[2];
+  double x = std::min(std::max(-r / std::max(width, 1e-10), 0.0), 1.0);
+  double sm = x * x * (3.0 - 2.0 * x);
+  double d = dmin + (dmax - dmin) * sm;
+  return std::min(std::max(d, 1e-4), 1.0 - 1e-6);
+}
+
+vector<double> constraint_forces(const Model& m, const Mutable& mm,
+                                 const double* qpos, const double* qvel,
+                                 const Smooth& s, const Chol& cholM) {
+  const int nv = m.nv;
+  const auto& bd = m.a("body_dof");
+
+  struct Row {
+    vector<double> J;
+    double r;  // constraint violation (<0 when active) — 0 on friction rows
+    double solref[2];
+    double solimp[3];
+    int kind;  // 0 normal/limit, 1 friction
+    double mu;
+    int nidx;  // governing normal row
+  };
+  vector<Row> rows;
+
+  // joint limit rows: two per limited joint, in joint order
+  for (int ji = 0; ji < m.njnt; ji++) {
+    if (m.a("jnt_limited")[ji] == 0.0 || m.gi("jnt_type", ji) == FREE)
+      continue;
+    int qadr = m.gi("jnt_qposadr", ji), dadr = m.gi("jnt_dofadr", ji);
+    double lo = m.a("jnt_range")[ji * 2], hi = m.a("jnt_range")[ji * 2 + 1];
+    double signs[2] = {1.0, -1.0};
+    double bounds[2] = {lo, hi};
+    for (int t = 0; t < 2; t++) {
+      Row row;
+      row.J.assign(nv, 0.0);
+      row.J[dadr] = signs[t];
+      row.r = signs[t] * (qpos[qadr] - bounds[t]);
+      row.solref[0] = m.a("jnt_solref_limit")[ji * 2];
+      row.solref[1] = m.a("jnt_solref_limit")[ji * 2 + 1];
+      for (int q = 0; q < 3; q++)
+        row.solimp[q] = m.a("jnt_solimp_limit")[ji * 3 + q];
+      row.kind = 0;
+      row.mu = 0.0;
+      row.nidx = (int)rows.size();
+      rows.push_back(std::move(row));
+    }
+  }
+  const int nlim = (int)rows.size();
+
+  vector<Contact> cons;
+  vector<ConMeta> meta;
+  contacts(m, mm, s.k, &cons, &meta);
+  const int ncon = (int)cons.size();
+  if (nlim == 0 && ncon == 0) return vector<double>(nv, 0.0);
+
+  // contact normal rows: Jp[k] = (cdof_lin[k] + cdof_ang[k] x pos) * mask
+  // with mask = body_dof[body2] - body_dof[body1]
+  vector<vector<Vec3>> jp(ncon, vector<Vec3>(nv));
+  for (int c = 0; c < ncon; c++) {
+    for (int k = 0; k < nv; k++) {
+      double mask = bd[meta[c].body2 * nv + k] - bd[meta[c].body1 * nv + k];
+      Vec3 v = s.k.cdof[k].l + s.k.cdof[k].a.cross(cons[c].pos);
+      jp[c][k] = v * mask;
+    }
+    Row row;
+    row.J.assign(nv, 0.0);
+    for (int k = 0; k < nv; k++) row.J[k] = jp[c][k].dot(cons[c].normal);
+    row.r = cons[c].dist - meta[c].margin;
+    row.solref[0] = meta[c].solref[0];
+    row.solref[1] = meta[c].solref[1];
+    for (int q = 0; q < 3; q++) row.solimp[q] = meta[c].solimp[q];
+    row.kind = 0;
+    row.mu = 0.0;
+    row.nidx = nlim + c;
+    rows.push_back(std::move(row));
+  }
+
+  // friction rows (condim >= 3): all t1 rows, then all t2 rows — matching
+  // engine.py's `for t in (t1, t2)` append order
+  vector<int> fric;
+  for (int c = 0; c < ncon; c++)
+    if (meta[c].condim >= 3) fric.push_back(c);
+  for (int ti = 0; ti < 2; ti++) {
+    for (int c : fric) {
+      Vec3 n = cons[c].normal;
+      Vec3 ref = std::fabs(n.x) < 0.5 ? Vec3{1, 0, 0} : Vec3{0, 1, 0};
+      Vec3 t1 = n.cross(ref);
+      t1 = t1 * (1.0 / t1.norm());
+      Vec3 t = ti == 0 ? t1 : n.cross(t1);
+      Row row;
+      row.J.assign(nv, 0.0);
+      for (int k = 0; k < nv; k++) row.J[k] = jp[c][k].dot(t);
+      row.r = 0.0;
+      row.solref[0] = meta[c].solref[0];
+      row.solref[1] = meta[c].solref[1];
+      for (int q = 0; q < 3; q++) row.solimp[q] = meta[c].solimp[q];
+      row.kind = 1;
+      row.mu = meta[c].mu;
+      row.nidx = nlim + c;
+      rows.push_back(std::move(row));
+    }
+  }
+  const int nrows = (int)rows.size();
+
+  // active mask: normal/limit rows need r < 0; friction follows its normal
+  vector<char> active(nrows);
+  for (int i = 0; i < nrows; i++) {
+    double r_own = rows[i].kind == 1 ? rows[rows[i].nidx].r : rows[i].r;
+    active[i] = r_own < 0.0;
+  }
+
+  // drop rows whose J M^-1 J^T diagonal ~ 0 (immovable direction)
+  vector<vector<double>> minv_jt(nrows, vector<double>(nv));
+  vector<double> diag0(nrows);
+  double diag0_max = -1e300;
+  for (int i = 0; i < nrows; i++) {
+    cholM.solve(rows[i].J.data(), minv_jt[i].data());
+    double d = 0;
+    for (int k = 0; k < nv; k++) d += rows[i].J[k] * minv_jt[i][k];
+    diag0[i] = d;
+    diag0_max = std::max(diag0_max, d);
+  }
+  for (int i = 0; i < nrows; i++)
+    if (!(diag0[i] > 1e-7 * (1.0 + diag0_max))) active[i] = 0;
+  for (int i = 0; i < nrows; i++)
+    if (!active[i]) {
+      std::fill(rows[i].J.begin(), rows[i].J.end(), 0.0);
+      std::fill(minv_jt[i].begin(), minv_jt[i].end(), 0.0);
+    }
+
+  // impedance and virtual-spring reference acceleration
+  vector<double> aref(nrows), dimp(nrows);
+  for (int i = 0; i < nrows; i++) {
+    double r_imp = rows[i].kind == 1 ? rows[rows[i].nidx].r : rows[i].r;
+    double d = impedance(rows[i].solimp, r_imp);
+    dimp[i] = d;
+    double tc = rows[i].solref[0], dr = rows[i].solref[1];
+    double b = 2.0 / std::max(tc, 1e-8);
+    double k = d / std::max(tc * tc * dr * dr, 1e-10);
+    double vel = 0;
+    for (int q = 0; q < nv; q++) vel += rows[i].J[q] * qvel[q];
+    double r_term = rows[i].kind == 1 ? 0.0 : rows[i].r;
+    aref[i] = (-b * vel - k * r_term) * (active[i] ? 1.0 : 0.0);
+  }
+
+  // A = J M^-1 J^T + diag(R)
+  vector<double> A(nrows * nrows, 0.0);
+  for (int i = 0; i < nrows; i++)
+    for (int j = 0; j < nrows; j++) {
+      double v = 0;
+      for (int k = 0; k < nv; k++) v += rows[i].J[k] * minv_jt[j][k];
+      A[i * nrows + j] = v;
+    }
+  vector<double> a_ii_inv(nrows);
+  for (int i = 0; i < nrows; i++) {
+    double diag_a = std::max(A[i * nrows + i], 1e-10);
+    double R = std::max((1.0 - dimp[i]) / dimp[i] * diag_a, 1e-8);
+    if (!active[i]) R = 1.0;
+    A[i * nrows + i] += R;
+    a_ii_inv[i] = 1.0 / std::max(A[i * nrows + i], 1e-10);
+  }
+
+  vector<double> qacc_smooth(nv);
+  cholM.solve(s.qfrc_smooth.data(), qacc_smooth.data());
+  vector<double> b_vec(nrows);
+  for (int i = 0; i < nrows; i++) {
+    double v = 0;
+    for (int k = 0; k < nv; k++) v += rows[i].J[k] * qacc_smooth[k];
+    b_vec[i] = (v - aref[i]) * (active[i] ? 1.0 : 0.0);
+  }
+
+  // projection: normal rows f >= 0; friction rows clipped to the cone.
+  // jnp.clip(lo > hi) resolves to hi (min(max(x,lo),hi)) — replicate exactly.
+  auto project = [&](vector<double>& f) {
+    vector<double> fn(nrows);
+    for (int i = 0; i < nrows; i++) fn[i] = f[rows[i].nidx];
+    for (int i = 0; i < nrows; i++) {
+      if (rows[i].kind == 1) {
+        double lim = rows[i].mu * fn[i];
+        f[i] = std::min(std::max(f[i], -lim), lim);
+      } else {
+        f[i] = std::max(f[i], 0.0);
+      }
+    }
+  };
+
+  vector<double> f(nrows, 0.0);
+  if (m.solver == 0) {
+    // projected Jacobi with under-relaxation (engine.py 'jacobi' branch)
+    const double omega = 0.5;
+    vector<double> tmp(nrows);
+    for (int it = 0; it < 2 * m.iterations; it++) {
+      for (int i = 0; i < nrows; i++) {
+        double af = 0;
+        for (int j = 0; j < nrows; j++) af += A[i * nrows + j] * f[j];
+        tmp[i] = f[i] - omega * (af + b_vec[i]) * a_ii_inv[i];
+      }
+      f = tmp;
+      project(f);
+    }
+  } else {
+    // projected Gauss-Seidel: in-place row updates, fixed order
+    for (int it = 0; it < m.iterations; it++) {
+      for (int i = 0; i < nrows; i++) {
+        double af = 0;
+        for (int j = 0; j < nrows; j++) af += A[i * nrows + j] * f[j];
+        double fi = f[i] - (af + b_vec[i]) * a_ii_inv[i];
+        if (rows[i].kind == 1) {
+          double lim = rows[i].mu * f[rows[i].nidx];
+          fi = std::min(std::max(fi, -lim), lim);
+        } else {
+          fi = std::max(fi, 0.0);
+        }
+        f[i] = fi;
+      }
+    }
+  }
+  for (int i = 0; i < nrows; i++)
+    if (!active[i]) f[i] = 0.0;
+
+  vector<double> qfrc(nv, 0.0);
+  for (int i = 0; i < nrows; i++)
+    for (int k = 0; k < nv; k++) qfrc[k] += rows[i].J[k] * f[i];
+  return qfrc;
+}
+
+// ---------------------------------------------------------------------------
+// integrators (engine.py _qacc / _integrate_pos / step)
+// ---------------------------------------------------------------------------
+
+void qacc_fn(const Model& m, const Mutable& mm, const double* qpos,
+             const double* qvel, const double* ctrl, bool implicit_damping,
+             double* qacc_out) {
+  Smooth s = smooth_dynamics(m, mm, qpos, qvel, ctrl);
+  Chol cholM(s.M, m.nv);
+  vector<double> qfrc_con =
+      constraint_forces(m, mm, qpos, qvel, s, cholM);
+  vector<double> rhs(m.nv);
+  for (int k = 0; k < m.nv; k++) rhs[k] = s.qfrc_smooth[k] + qfrc_con[k];
+  if (implicit_damping) {
+    vector<double> Mi = s.M;
+    for (int k = 0; k < m.nv; k++)
+      Mi[k * m.nv + k] += m.timestep * mm.dof_damping[k];
+    Chol cholMi(Mi, m.nv);
+    cholMi.solve(rhs.data(), qacc_out);
+  } else {
+    cholM.solve(rhs.data(), qacc_out);
+  }
+}
+
+void integrate_pos(const Model& m, const double* qpos, const double* qvel,
+                   double dt, double* out) {
+  for (int ji = 0; ji < m.njnt; ji++) {
+    int jt = m.gi("jnt_type", ji);
+    int qadr = m.gi("jnt_qposadr", ji), dadr = m.gi("jnt_dofadr", ji);
+    if (jt == FREE) {
+      for (int k = 0; k < 3; k++)
+        out[qadr + k] = qpos[qadr + k] + dt * qvel[dadr + k];
+      Quat q{qpos[qadr + 3], qpos[qadr + 4], qpos[qadr + 5], qpos[qadr + 6]};
+      Vec3 w{qvel[dadr + 3], qvel[dadr + 4], qvel[dadr + 5]};
+      Quat qn = quat_integrate(q, w, dt);
+      out[qadr + 3] = qn.w;
+      out[qadr + 4] = qn.x;
+      out[qadr + 5] = qn.y;
+      out[qadr + 6] = qn.z;
+    } else {
+      out[qadr] = qpos[qadr] + dt * qvel[dadr];
+    }
+  }
+}
+
+void step_impl(const Model& m, const Mutable& mm, const double* qpos,
+               const double* qvel, const double* ctrl, double* out_qpos,
+               double* out_qvel) {
+  const double h = m.timestep;
+  const int nv = m.nv, nq = m.nq;
+  if (m.integrator == EULER) {
+    vector<double> qacc(nv);
+    qacc_fn(m, mm, qpos, qvel, ctrl, true, qacc.data());
+    for (int k = 0; k < nv; k++) out_qvel[k] = qvel[k] + h * qacc[k];
+    integrate_pos(m, qpos, out_qvel, h, out_qpos);
+  } else {  // RK4
+    vector<double> a1(nv), a2(nv), a3(nv), a4(nv);
+    vector<double> q2(nq), q3(nq), q4(nq), v2(nv), v3(nv), v4(nv);
+    qacc_fn(m, mm, qpos, qvel, ctrl, false, a1.data());
+    integrate_pos(m, qpos, qvel, 0.5 * h, q2.data());
+    for (int k = 0; k < nv; k++) v2[k] = qvel[k] + 0.5 * h * a1[k];
+    qacc_fn(m, mm, q2.data(), v2.data(), ctrl, false, a2.data());
+    integrate_pos(m, qpos, v2.data(), 0.5 * h, q3.data());
+    for (int k = 0; k < nv; k++) v3[k] = qvel[k] + 0.5 * h * a2[k];
+    qacc_fn(m, mm, q3.data(), v3.data(), ctrl, false, a3.data());
+    integrate_pos(m, qpos, v3.data(), h, q4.data());
+    for (int k = 0; k < nv; k++) v4[k] = qvel[k] + h * a3[k];
+    qacc_fn(m, mm, q4.data(), v4.data(), ctrl, false, a4.data());
+    vector<double> v_avg(nv);
+    for (int k = 0; k < nv; k++) {
+      v_avg[k] = (qvel[k] + 2 * v2[k] + 2 * v3[k] + v4[k]) / 6.0;
+      out_qvel[k] =
+          qvel[k] + h * (a1[k] + 2 * a2[k] + 2 * a3[k] + a4[k]) / 6.0;
+    }
+    integrate_pos(m, qpos, v_avg.data(), h, out_qpos);
+  }
+}
+
+// forward pass subset envs consume (engine.py forward)
+void forward_impl(const Model& m, const Mutable& mm, const double* qpos,
+                  const double* qvel, double* out_xpos, double* out_ximat,
+                  double* out_com, double* out_comvel) {
+  FK k = fk(m, qpos);
+  const auto& bd = m.a("body_dof");
+  const auto& banc = m.a("body_ancestor");
+  vector<Vec3> xipos(m.nbody);
+  for (int b = 0; b < m.nbody; b++) {
+    Vec3 ip{m.a("body_ipos")[b * 3], m.a("body_ipos")[b * 3 + 1],
+            m.a("body_ipos")[b * 3 + 2]};
+    xipos[b] = k.xpos[b] + k.ximat[b].mul(ip);
+  }
+  vector<Spatial> body_vel(m.nbody);
+  for (int b = 0; b < m.nbody; b++)
+    for (int q = 0; q < m.nv; q++)
+      if (bd[b * m.nv + q] != 0.0)
+        body_vel[b] = body_vel[b] + k.cdof[q] * qvel[q];
+  for (int b = 0; b < m.nbody; b++) {
+    out_xpos[b * 3] = k.xpos[b].x;
+    out_xpos[b * 3 + 1] = k.xpos[b].y;
+    out_xpos[b * 3 + 2] = k.xpos[b].z;
+    for (int i = 0; i < 3; i++)
+      for (int j = 0; j < 3; j++)
+        out_ximat[b * 9 + i * 3 + j] = k.ximat[b].m[i][j];
+    double msub = 0;
+    Vec3 csum, vsum;
+    for (int c = 0; c < m.nbody; c++) {
+      if (banc[b * m.nbody + c] == 0.0) continue;
+      double mc = mm.body_mass[c];
+      msub += mc;
+      csum = csum + xipos[c] * mc;
+      Vec3 vc = body_vel[c].l + body_vel[c].a.cross(xipos[c]);
+      vsum = vsum + vc * mc;
+    }
+    double safe = std::max(msub, 1e-10);
+    out_com[b * 3] = csum.x / safe;
+    out_com[b * 3 + 1] = csum.y / safe;
+    out_com[b * 3 + 2] = csum.z / safe;
+    out_comvel[b * 3] = vsum.x / safe;
+    out_comvel[b * 3 + 1] = vsum.y / safe;
+    out_comvel[b * 3 + 2] = vsum.z / safe;
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* ltao_model_new() { return new Model(); }
+
+void ltao_model_free(void* h) { delete static_cast<Model*>(h); }
+
+int ltao_model_set(void* h, const char* name, const double* data, long n) {
+  auto* m = static_cast<Model*>(h);
+  m->f[name] = vector<double>(data, data + n);
+  return 0;
+}
+
+int ltao_model_finalize(void* h) {
+  return static_cast<Model*>(h)->finalize();
+}
+
+int ltao_step(void* h, const double* qpos, const double* qvel,
+              const double* ctrl, const double* body_mass,
+              const double* dof_damping, const double* geom_size,
+              const double* geom_pos, const double* xfrc,
+              const double* hf_size, const double* hf_row, long hf_ncol,
+              double* out_qpos, double* out_qvel) {
+  auto* m = static_cast<Model*>(h);
+  Mutable mm{body_mass, dof_damping, geom_size, geom_pos,
+             xfrc,      hf_size,     hf_row,    hf_ncol};
+  step_impl(*m, mm, qpos, qvel, ctrl, out_qpos, out_qvel);
+  return 0;
+}
+
+int ltao_forward(void* h, const double* qpos, const double* qvel,
+                 const double* body_mass, const double* geom_pos,
+                 double* out_xpos, double* out_ximat, double* out_com,
+                 double* out_comvel) {
+  auto* m = static_cast<Model*>(h);
+  Mutable mm{};
+  mm.body_mass = body_mass;
+  mm.geom_pos = geom_pos;
+  forward_impl(*m, mm, qpos, qvel, out_xpos, out_ximat, out_com, out_comvel);
+  return 0;
+}
+
+}  // extern "C"
