@@ -8,7 +8,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
-from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize  # noqa: E402
+from learning_to_adapt_tpu.envs import (  # noqa: E402
+    AntEnv, Arm7DofEnv, HalfCheetahBlocksEnv, HalfCheetahEnv,
+    HalfCheetahHFieldEnv, normalize)
 from learning_to_adapt_tpu.models import RNNDynamicsModel  # noqa: E402
 from learning_to_adapt_tpu.policies import RNNMPCController  # noqa: E402
 from learning_to_adapt_tpu.samplers import (  # noqa: E402
@@ -18,6 +20,10 @@ from learning_to_adapt_tpu.utils import logging as logger  # noqa: E402
 from learning_to_adapt_tpu.utils.config import ClassEncoder  # noqa: E402
 
 EXP_NAME = 'rebal'
+
+ENVS = {c.__name__: c for c in
+        (HalfCheetahEnv, HalfCheetahHFieldEnv, HalfCheetahBlocksEnv,
+         AntEnv, Arm7DofEnv)}
 
 
 def run_experiment(config):
@@ -126,7 +132,16 @@ if __name__ == '__main__':
     p.add_argument('--n_itr', type=int, default=None)
     p.add_argument('--exp_name', type=str, default='')
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--env', type=str, default=None,
+                   help='env class name, e.g. AntEnv '
+                        '(default HalfCheetahEnv)')
+    p.add_argument('--task', type=str, default=None,
+                   help="task distribution, e.g. 'cripple'")
     args = p.parse_args()
+    if args.env:
+        config['env'] = ENVS[args.env]
+    if args.task:
+        config['task'] = args.task
     config['resume'] = args.resume
     if args.n_itr:
         config['n_itr'] = args.n_itr

@@ -11,7 +11,8 @@ import numpy as np
 import pytest
 
 from learning_to_adapt_tpu.envs.model_defs import (
-    ant_spec, arm_7dof_spec, half_cheetah_spec)
+    ant_spec, arm_7dof_spec, half_cheetah_blocks_spec, half_cheetah_spec,
+    half_cheetah_hfield_spec)
 from learning_to_adapt_tpu.physics import engine
 from learning_to_adapt_tpu.physics.engine import PhysicsState
 from learning_to_adapt_tpu.physics.spec import compile_spec, default_mutable
@@ -43,9 +44,11 @@ def _random_state(model, seed):
     return qpos, qvel, ctrl
 
 
-def _compare(spec, n_steps, tol_p, tol_v, seed=0):
+def _compare(spec, n_steps, tol_p, tol_v, seed=0, mm_edit=None):
     model = compile_spec(spec)
     mm = default_mutable(model, np.float64)
+    if mm_edit is not None:
+        mm = mm_edit(mm)
     nat = native.NativePhysics(model)
     qpos, qvel, ctrl = _random_state(model, seed)
 
@@ -84,3 +87,23 @@ class TestOracleParityAnt:
         """RK4 + free joint + sphere/capsule-plane contacts — the hard case
         (SURVEY.md 7.4 item 1)."""
         _compare(ant_spec(), 25, 1e-5, 1e-4)
+
+
+class TestOracleParityTerrains:
+    def test_hfield_trajectory(self):
+        """Capsule-heightfield contacts over a bumpy x-profile (the hfield
+        task surface, reference half_cheetah_hfield_env.py:76-166)."""
+        import dataclasses
+        rng = np.random.RandomState(3)
+
+        def bumpy(mm):
+            ncol = mm.hfield_row.shape[0]
+            row = np.clip(np.cumsum(rng.uniform(-.05, .05, ncol)), 0, 1)
+            return dataclasses.replace(mm, hfield_row=row.astype(np.float64))
+
+        _compare(half_cheetah_hfield_spec(), 40, 1e-6, 1e-5, mm_edit=bumpy)
+
+    def test_blocks_trajectory(self):
+        """Capsule-box contacts on the spring-loaded block floor (reference
+        half_cheetah_blocks_env.py, assets/half_cheetah_blocks.xml:54-90)."""
+        _compare(half_cheetah_blocks_spec(), 40, 1e-6, 1e-5)
