@@ -231,8 +231,13 @@ class MLPDynamicsModel:
             return jax.vmap(lambda p: core.mlp_forward(
                 p, x, self.hidden_nonlinearity, self.output_nonlinearity,
                 compute_dtype))(params)
-        return core.mlp_forward(params, x, self.hidden_nonlinearity,
-                                self.output_nonlinearity, compute_dtype)
+        # planner-path batches route through the fused Pallas kernel on TPU
+        # (inter-layer activations stay in VMEM instead of round-tripping
+        # HBM); training (compute_dtype=None) and small batches stay on XLA
+        from learning_to_adapt_tpu.ops import fused_mlp
+        return fused_mlp.planner_forward(params, x, self.hidden_nonlinearity,
+                                         self.output_nonlinearity,
+                                         compute_dtype)
 
     def predict_fn(self, params, norm, obs, act):
         """Pure jittable prediction: obs' = obs + denorm(f(norm(obs,act))).

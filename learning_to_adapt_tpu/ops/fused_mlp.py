@@ -25,6 +25,12 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_ROWS = 2048
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16 MB/core VMEM
 
+# below this many rows the pad-to-tile waste outweighs the fusion win;
+# planners batch (n_candidates * n_envs) rows so they clear it easily
+MIN_ROWS = _TILE_ROWS
+
+_KERNEL_NONLINEARITIES = ('relu', 'tanh', 'swish', 'sigmoid')
+
 
 def _kernel(n_layers, hidden_nonlinearity, x_ref, *refs):
     """refs = w_0, b_0, ..., w_{L-1}, b_{L-1}, out_ref."""
@@ -61,6 +67,27 @@ def supported(params, backend=None):
     if backend != 'tpu':
         return False
     return _weights_fit_vmem(params)
+
+
+def planner_forward(params, x, hidden_nonlinearity='relu',
+                    output_nonlinearity=None, compute_dtype=None):
+    """Inference-path MLP forward for the planners: dispatches to the fused
+    Pallas kernel when it is profitable (TPU backend, bf16 compute, identity
+    output, batch at least one row tile, weights fit VMEM), otherwise falls
+    back to the plain XLA forward. The decision is made at trace time, so
+    the same model code compiles to either path with zero runtime branching.
+    """
+    from learning_to_adapt_tpu.models import core
+    if (compute_dtype == jnp.bfloat16
+            and output_nonlinearity is None
+            and isinstance(hidden_nonlinearity, str)
+            and hidden_nonlinearity in _KERNEL_NONLINEARITIES
+            and x.ndim == 2
+            and x.shape[0] >= MIN_ROWS
+            and supported(params)):
+        return fused_mlp_forward(params, x, hidden_nonlinearity)
+    return core.mlp_forward(params, x, hidden_nonlinearity,
+                            output_nonlinearity, compute_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('hidden_nonlinearity',))
