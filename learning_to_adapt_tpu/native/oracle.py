@@ -23,7 +23,7 @@ from learning_to_adapt_tpu.physics.spec import (
 KIND_CODES = {
     'plane_sphere': 0, 'plane_capsule': 1, 'hfield_sphere': 2,
     'hfield_capsule': 3, 'sphere_sphere': 4, 'sphere_capsule': 5,
-    'capsule_capsule': 6, 'capsule_box': 7, 'sphere_box': 8,
+    'capsule_capsule': 6, 'capsule_box': 7, 'sphere_box': 8, 'box_box': 9,
 }
 
 _SOLVER_CODES = {'jacobi': 0, 'pgs': 1}

@@ -16,6 +16,7 @@ generates terrain constant along y (reference half_cheetah_hfield_env.py:
 Each contact: (dist, pos(3,), normal(3,)) with the normal pointing from
 geom1 toward geom2, so d(dist)/dt = n . (v_p(body2) - v_p(body1)).
 """
+import jax
 import jax.numpy as jnp
 
 
@@ -170,3 +171,217 @@ def capsule_box(cap_pos, cap_mat, r, hl, box_pos, box_mat, half):
     d1, p1, n1 = _sphere_box_raw(e1, r, box_pos, box_mat, half)
     d2, p2, n2 = _sphere_box_raw(e2, r, box_pos, box_mat, half)
     return (jnp.stack([d1, d2]), jnp.stack([p1, p2]), jnp.stack([n1, n2]))
+
+
+_BIG = 1e6
+
+
+def _one_hot3(k, dtype):
+    return (jnp.arange(3) == k).astype(dtype)
+
+
+def _face_manifold(ref_p, ref_m, ref_half, inc_p, inc_m, inc_half):
+    """Face-contact manifold with `ref` as the reference box.
+
+    Works in the reference box's local frame. The reference face is the
+    ref-box face with maximum separation; candidate contact points are (a)
+    the 4 incident-face corners, (b) the 4 reference-face corners, and (c)
+    the 16 2D edge-edge intersections between the two face rectangles —
+    together these cover every vertex of the convex overlap polygon. The 4
+    deepest valid candidates are kept (top_k), mirroring the <=4-point
+    manifolds MuJoCo's mjc_BoxBox emits for face-face stacks.
+
+    Returns (sep_best, dist(4,), pos_local(4,3) in ref frame, n_local(3,)).
+    """
+    dtype = ref_p.dtype
+    eps = 1e-9
+    Ri = ref_m.T @ inc_m                   # incident axes in ref frame (cols)
+    ci = ref_m.T @ (inc_p - ref_p)         # incident center in ref frame
+    aRi = jnp.abs(Ri)
+    sep = jnp.abs(ci) - (ref_half + aRi @ inc_half)   # (3,) face separations
+    k = jnp.argmax(sep)
+    sep_best = sep[k]
+    s = jnp.where(ci[k] >= 0, 1.0, -1.0).astype(dtype)
+    onek = _one_hot3(k, dtype)
+    n_l = s * onek                         # ref outward face normal (local)
+
+    # incident face: most anti-parallel to n_l
+    mcomp = Ri.T @ n_l                     # n_l components along inc axes
+    j = jnp.argmax(jnp.abs(mcomp))
+    onej = _one_hot3(j, dtype)
+    sj = -jnp.where(mcomp[j] >= 0, 1.0, -1.0).astype(dtype)
+    fc = ci + sj * (inc_half @ onej) * (Ri @ onej)    # incident face center
+    j1 = jnp.mod(j + 1, 3)
+    j2 = jnp.mod(j + 2, 3)
+    onej1 = _one_hot3(j1, dtype)
+    onej2 = _one_hot3(j2, dtype)
+    a_u = (inc_half @ onej1) * (Ri @ onej1)           # incident face edges
+    a_v = (inc_half @ onej2) * (Ri @ onej2)
+
+    # face-local coordinates: rows of P map local xyz -> (u, v, w=face axis)
+    k1 = jnp.mod(k + 1, 3)
+    k2 = jnp.mod(k + 2, 3)
+    P = jnp.stack([_one_hot3(k1, dtype), _one_hot3(k2, dtype), onek])
+    hu = ref_half @ P[0]
+    hv = ref_half @ P[1]
+    hw = ref_half @ P[2]
+
+    # incident face corners, cyclic order, in face coords
+    signs = jnp.asarray([[1., 1.], [1., -1.], [-1., -1.], [-1., 1.]], dtype)
+    corners = fc[None, :] + signs[:, 0:1] * a_u[None, :] + \
+        signs[:, 1:2] * a_v[None, :]                   # (4,3) ref-local
+    cf = corners @ P.T                                 # (4,3) face coords
+    # incident plane in face coords: ni_f . (x - fc_f) = 0
+    ni_f = P @ (sj * (Ri @ onej))
+    fc_f = P @ fc
+    niw = jnp.where(jnp.abs(ni_f[2]) < 1e-6,
+                    jnp.where(ni_f[2] >= 0, 1e-6, -1e-6), ni_f[2])
+
+    def plane_w(u, v):
+        return (jnp.dot(ni_f, fc_f) - ni_f[0] * u - ni_f[1] * v) / niw
+
+    tol = 1e-7
+    # (a) incident corners: valid if inside the reference face rectangle
+    ua, va, wa = cf[:, 0], cf[:, 1], cf[:, 2]
+    valid_a = (jnp.abs(ua) <= hu + tol) & (jnp.abs(va) <= hv + tol)
+
+    # (b) reference face corners: valid if inside the incident 2D quad
+    ub = signs[:, 0] * hu
+    vb = signs[:, 1] * hv
+    wb = plane_w(ub, vb)
+    q2 = cf[:, :2]                                     # (4,2) cyclic quad
+    e2 = jnp.roll(q2, -1, axis=0) - q2                 # (4,2) quad edges
+    pb = jnp.stack([ub, vb], axis=-1)                  # (4,2)
+    rel = pb[:, None, :] - q2[None, :, :]              # (4 pts,4 edges,2)
+    cross = e2[None, :, 0] * rel[:, :, 1] - e2[None, :, 1] * rel[:, :, 0]
+    valid_b = (jnp.all(cross >= -tol, axis=1) |
+               jnp.all(cross <= tol, axis=1))
+
+    # (c) 2D intersections: 4 rect edges x 4 quad edges
+    ra = jnp.stack([jnp.stack([hu, -hv]), jnp.stack([hu, hv]),
+                    jnp.stack([-hu, hv]), jnp.stack([-hu, -hv])])  # (4,2)
+    rd = jnp.roll(ra, -1, axis=0) - ra                 # rect edge vectors
+    d2v = e2                                           # quad edge vectors
+    # solve ra + ta*rd = q2 + tb*d2 for each of the 16 combos
+    diff = q2[None, :, :] - ra[:, None, :]             # (4,4,2)
+    denom = rd[:, None, 0] * d2v[None, :, 1] - rd[:, None, 1] * d2v[None, :, 0]
+    denom_safe = jnp.where(jnp.abs(denom) < eps, 1.0, denom)
+    ta = (diff[:, :, 0] * d2v[None, :, 1] -
+          diff[:, :, 1] * d2v[None, :, 0]) / denom_safe
+    tb = (diff[:, :, 0] * rd[:, None, 1] -
+          diff[:, :, 1] * rd[:, None, 0]) / denom_safe
+    valid_c = ((jnp.abs(denom) >= eps) & (ta >= -tol) & (ta <= 1 + tol) &
+               (tb >= -tol) & (tb <= 1 + tol)).reshape(-1)
+    uc = (ra[:, None, 0] + ta * rd[:, None, 0]).reshape(-1)
+    vc = (ra[:, None, 1] + ta * rd[:, None, 1]).reshape(-1)
+    wc = plane_w(uc, vc)
+
+    u_all = jnp.concatenate([ua, ub, uc])
+    v_all = jnp.concatenate([va, vb, vc])
+    w_all = jnp.concatenate([wa, wb, wc])
+    valid = jnp.concatenate([valid_a, valid_b, valid_c])
+    gap = s * w_all - hw                               # penetration along n_l
+    gap = jnp.where(valid, gap, _BIG)
+
+    neg_gap, idx = jax.lax.top_k(-gap, 4)
+    dist = -neg_gap
+    u4, v4, w4 = u_all[idx], v_all[idx], w_all[idx]
+    # contact point: midway between the two surfaces along the face axis
+    wmid = 0.5 * (s * hw + w4)
+    pos_local = jnp.stack([u4, v4, wmid], axis=-1) @ P  # back to ref local
+    return sep_best, dist, pos_local, n_l
+
+
+def box_box(p1, m1, half1, p2, m2, half2):
+    """Box geom1 vs box geom2 (SAT + clipped face manifold). 4 contacts.
+
+    Covers the blocks env's 28 block-block pairs that MuJoCo collides in the
+    reference model (reference envs/assets/half_cheetah_blocks.xml:54-90).
+    Face case: the deeper-face reference box wins; edge-edge case (best SAT
+    axis an edge cross-product): single contact at the closest edge points.
+    """
+    dtype = p1.dtype
+    half1 = half1[:3]
+    half2 = half2[:3]
+
+    # manifold with box1 as reference and with box2 as reference
+    sep_1, d1, pl1, nl1 = _face_manifold(p1, m1, half1, p2, m2, half2)
+    sep_2, d2, pl2, nl2 = _face_manifold(p2, m2, half2, p1, m1, half1)
+    use2 = sep_2 > sep_1 + 1e-8
+    dist = jnp.where(use2, d2, d1)
+    pos = jnp.where(use2, pl2 @ m2.T + p2[None, :], pl1 @ m1.T + p1[None, :])
+    # normal convention: from geom1 toward geom2
+    n_face = jnp.where(use2, -(m2 @ nl2), m1 @ nl1)
+
+    # --- edge-edge SAT (9 cross axes, box1 frame) ---
+    R = m1.T @ m2
+    t = m1.T @ (p2 - p1)
+    eye = jnp.eye(3, dtype=dtype)
+    # axes l[i,j] = cross(e_i, R[:, j])
+    l = jnp.cross(eye[:, None, :], R.T[None, :, :])    # (3,3,3)
+    lnorm = jnp.linalg.norm(l, axis=-1)
+    ok = lnorm > 1e-6
+    lhat = l / jnp.where(ok, lnorm, 1.0)[..., None]
+    # orient toward box2
+    tdot = jnp.einsum('ijk,k->ij', lhat, t)
+    lhat = lhat * jnp.where(tdot >= 0, 1.0, -1.0)[..., None]
+    tdot = jnp.abs(tdot)
+    supp1 = jnp.einsum('ijk,k->ij', jnp.abs(lhat), half1)
+    supp2 = jnp.einsum('ijl,l->ij', jnp.abs(jnp.einsum('ijk,kl->ijl',
+                                                       lhat, R)), half2)
+    sep_e = jnp.where(ok, tdot - supp1 - supp2, -_BIG)
+    # penalize degenerate (near-parallel) axes; flatten and pick best
+    flat = sep_e.reshape(-1)
+    eidx = jnp.argmax(flat)
+    sep_edge = flat[eidx]
+    i = eidx // 3
+    j = jnp.mod(eidx, 3)
+    le = lhat.reshape(-1, 3)[eidx]                     # box1 frame, ->box2
+    onei = _one_hot3(i, dtype)
+    onejb = _one_hot3(j, dtype)
+    # supporting edge on box1: corner signs toward +le on the other axes
+    sgn1 = jnp.where(eye @ le >= 0, 1.0, -1.0) * (1.0 - onei)
+    pA = (half1 * sgn1)                                # point on edge1 (local)
+    dA = onei                                          # direction e_i
+    hA = half1 @ onei
+    # supporting edge on box2: toward -le along box2 axes
+    le2 = R.T @ le                                     # le in box2 frame
+    sgn2 = jnp.where(le2 >= 0, -1.0, 1.0) * (1.0 - onejb)
+    pB = t + R @ (half2 * sgn2)
+    dB = R @ onejb
+    hB = half2 @ onejb
+    # closest points between the two edge segments (box1 frame)
+    s1a, s1b = pA - dA * hA, pA + dA * hA
+    s2a, s2b = pB - dB * hB, pB + dB * hB
+    dd1, dd2 = s1b - s1a, s2b - s2a
+    rr = s1a - s2a
+    a = jnp.dot(dd1, dd1)
+    e = jnp.dot(dd2, dd2)
+    f = jnp.dot(dd2, rr)
+    c = jnp.dot(dd1, rr)
+    b = jnp.dot(dd1, dd2)
+    denom = jnp.maximum(a * e - b * b, 1e-12)
+    ss = jnp.clip((b * f - c * e) / denom, 0.0, 1.0)
+    tt = jnp.clip((b * ss + f) / jnp.maximum(e, 1e-12), 0.0, 1.0)
+    ss = jnp.clip((b * tt - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
+    q1 = s1a + ss * dd1
+    q2e = s2a + tt * dd2
+    pos_edge = p1 + m1 @ (0.5 * (q1 + q2e))
+    n_edge = m1 @ le
+
+    sep_face = jnp.maximum(sep_1, sep_2)
+    is_edge = sep_edge > sep_face + 1e-8
+    dist = jnp.where(is_edge,
+                     jnp.concatenate([sep_edge[None],
+                                      jnp.full((3,), _BIG, dtype)]), dist)
+    pos = jnp.where(is_edge, jnp.concatenate(
+        [pos_edge[None, :], jnp.zeros((3, 3), dtype)]), pos)
+    n = jnp.where(is_edge,
+                  jnp.broadcast_to(n_edge, (4, 3)),
+                  jnp.broadcast_to(n_face, (4, 3)))
+    # inert slots: keep normals unit to stay NaN-safe under masking
+    inert = dist >= _BIG * 0.5
+    n = jnp.where(inert[:, None],
+                  jnp.broadcast_to(jnp.asarray([0., 0., 1.], dtype), (4, 3)),
+                  n)
+    return dist, pos, n

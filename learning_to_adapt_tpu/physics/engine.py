@@ -194,6 +194,9 @@ def _contacts(model: PhysicsModel, mm: MutableModel, gpos, gmat):
         elif kind == 'sphere_box':
             d, p, n = jax.vmap(coll.sphere_box)(p1, s1[:, 0], p2, m2,
                                                 s2[:, :3])
+        elif kind == 'box_box':
+            d, p, n = jax.vmap(coll.box_box)(p1, m1, s1[:, :3], p2, m2,
+                                             s2[:, :3])
         else:
             raise ValueError(kind)
         n_pts = d.shape[1]
@@ -228,13 +231,16 @@ def _impedance(solimp, r):
     return jnp.clip(dmin + (dmax - dmin) * s, 1e-4, 1.0 - 1e-6)
 
 
-def _kb(solref, d):
-    """Stiffness/damping of the virtual constraint spring (MuJoCo solref
-    semantics: (timeconst, dampratio))."""
+def _kb(solref, solimp, d):
+    """Stiffness/damping of the virtual constraint spring. Exact MuJoCo
+    solref=(timeconst, dampratio) semantics: b = 2/(dmax*tc),
+    k = d / (dmax^2 * tc^2 * dr^2) with dmax = solimp[1] (MuJoCo docs,
+    Computation chapter; cross-validated vs open-source MuJoCo in
+    tests/test_mujoco_crosscheck.py)."""
     tc, dr = solref[..., 0], solref[..., 1]
-    dmax = 1.0  # normalized: k formula uses d_width(=dmax of solimp) ~ handled via d
-    b = 2.0 / jnp.maximum(tc, 1e-8)
-    k = d / jnp.maximum(tc * tc * dr * dr, 1e-10)
+    dmax = solimp[..., 1]
+    b = 2.0 / jnp.maximum(dmax * tc, 1e-8)
+    k = d / jnp.maximum(dmax * dmax * tc * tc * dr * dr, 1e-10)
     return k, b
 
 
@@ -433,7 +439,7 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
     # impedance, spring params
     r_imp = jnp.where(jnp.asarray(kind == 1), r_pos[nidx], r_pos)
     d = _impedance(solimp, r_imp)
-    k, b = _kb(solref, d)
+    k, b = _kb(solref, solimp, d)
     vel = J @ qvel
     aref = -b * vel - k * jnp.where(jnp.asarray(kind == 1),
                                     jnp.zeros_like(r_pos), r_pos)

@@ -370,6 +370,7 @@ _PAIR_KINDS = {
     (BOX, CAPSULE): ('capsule_box', True),
     (SPHERE, BOX): ('sphere_box', False),
     (BOX, SPHERE): ('sphere_box', True),
+    (BOX, BOX): ('box_box', False),
 }
 
 

@@ -219,7 +219,7 @@ enum Integrator { EULER = 0, RK4 = 1 };
 enum PairKind {
   PLANE_SPHERE = 0, PLANE_CAPSULE = 1, HFIELD_SPHERE = 2, HFIELD_CAPSULE = 3,
   SPHERE_SPHERE = 4, SPHERE_CAPSULE = 5, CAPSULE_CAPSULE = 6,
-  CAPSULE_BOX = 7, SPHERE_BOX = 8,
+  CAPSULE_BOX = 7, SPHERE_BOX = 8, BOX_BOX = 9,
 };
 
 struct Model {
@@ -548,6 +548,230 @@ void sphere_box_raw(const Vec3& c, double r, const Vec3& bpos,
   out->pos = c + out->normal * (r + 0.5 * out->dist);
 }
 
+// ---- box-box (collision.py box_box): SAT + clipped face manifold --------
+// Mirrors the JAX kernel op-for-op, including argmax/top-k tie-breaking
+// (first index wins), so oracle trajectories track the engine to ~1e-6.
+
+static const double BB_BIG = 1e6;
+
+struct BBManifold {
+  double sep;          // best face separation for this reference choice
+  double dist[4];
+  Vec3 pos_local[4];   // contact points in the reference box frame
+  Vec3 n_local;        // outward reference-face normal (local)
+};
+
+static Vec3 vset(int k, double val) {
+  return {k == 0 ? val : 0.0, k == 1 ? val : 0.0, k == 2 ? val : 0.0};
+}
+
+BBManifold bb_face_manifold(const Vec3& ref_p, const Mat3& ref_m,
+                            const Vec3& ref_half, const Vec3& inc_p,
+                            const Mat3& inc_m, const Vec3& inc_half) {
+  const double eps = 1e-9, tol = 1e-7;
+  Mat3 Ri;  // ref_m^T * inc_m: incident axes in ref frame (columns)
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) {
+      double s = 0;
+      for (int q = 0; q < 3; q++) s += ref_m.m[q][i] * inc_m.m[q][j];
+      Ri.m[i][j] = s;
+    }
+  Vec3 ci = ref_m.tmul(inc_p - ref_p);
+  double sep[3];
+  for (int q = 0; q < 3; q++) {
+    double s = 0;
+    for (int j2 = 0; j2 < 3; j2++) s += std::fabs(Ri.m[q][j2]) * inc_half[j2];
+    sep[q] = std::fabs(ci[q]) - (ref_half[q] + s);
+  }
+  int k = 0;
+  if (sep[1] > sep[k]) k = 1;
+  if (sep[2] > sep[k]) k = 2;
+  double sgn = ci[k] >= 0 ? 1.0 : -1.0;
+
+  double mcomp[3];  // components of the ref normal along incident axes
+  for (int q = 0; q < 3; q++) mcomp[q] = sgn * Ri.m[k][q];
+  int j = 0;
+  if (std::fabs(mcomp[1]) > std::fabs(mcomp[j])) j = 1;
+  if (std::fabs(mcomp[2]) > std::fabs(mcomp[j])) j = 2;
+  double sj = -(mcomp[j] >= 0 ? 1.0 : -1.0);
+  Vec3 fc = ci + Ri.col(j) * (sj * inc_half[j]);
+  int j1 = (j + 1) % 3, j2 = (j + 2) % 3;
+  Vec3 a_u = Ri.col(j1) * inc_half[j1];
+  Vec3 a_v = Ri.col(j2) * inc_half[j2];
+  int k1 = (k + 1) % 3, k2 = (k + 2) % 3;
+  double hu = ref_half[k1], hv = ref_half[k2], hw = ref_half[k];
+
+  static const double SGN[4][2] = {{1, 1}, {1, -1}, {-1, -1}, {-1, 1}};
+  double ua[24], va[24], wa[24], gap[24];
+  bool valid[24];
+  // (a) incident face corners in face coords (u=x[k1], v=x[k2], w=x[k])
+  for (int c = 0; c < 4; c++) {
+    Vec3 corner = fc + a_u * SGN[c][0] + a_v * SGN[c][1];
+    ua[c] = corner[k1];
+    va[c] = corner[k2];
+    wa[c] = corner[k];
+    valid[c] = std::fabs(ua[c]) <= hu + tol && std::fabs(va[c]) <= hv + tol;
+  }
+  // incident plane in face coords
+  Vec3 ni = Ri.col(j) * sj;
+  double nif[3] = {ni[k1], ni[k2], ni[k]};
+  double fcf[3] = {fc[k1], fc[k2], fc[k]};
+  double niw = std::fabs(nif[2]) < 1e-6 ? (nif[2] >= 0 ? 1e-6 : -1e-6)
+                                        : nif[2];
+  double nidotfc = nif[0] * fcf[0] + nif[1] * fcf[1] + nif[2] * fcf[2];
+  auto plane_w = [&](double u, double v) {
+    return (nidotfc - nif[0] * u - nif[1] * v) / niw;
+  };
+  // (b) reference face corners: valid if inside the incident 2D quad
+  for (int c = 0; c < 4; c++) {
+    int idx = 4 + c;
+    double ub = SGN[c][0] * hu, vb = SGN[c][1] * hv;
+    ua[idx] = ub;
+    va[idx] = vb;
+    wa[idx] = plane_w(ub, vb);
+    bool all_pos = true, all_neg = true;
+    for (int q = 0; q < 4; q++) {
+      double ex = ua[(q + 1) % 4] - ua[q], ey = va[(q + 1) % 4] - va[q];
+      double cr = ex * (vb - va[q]) - ey * (ub - ua[q]);
+      if (cr < -tol) all_pos = false;
+      if (cr > tol) all_neg = false;
+    }
+    valid[idx] = all_pos || all_neg;
+  }
+  // (c) 16 2D edge-edge intersections: rect edges x incident quad edges
+  const double RA[4][2] = {{hu, -hv}, {hu, hv}, {-hu, hv}, {-hu, -hv}};
+  for (int a2 = 0; a2 < 4; a2++)
+    for (int b2 = 0; b2 < 4; b2++) {
+      int idx = 8 + a2 * 4 + b2;
+      double rdx = RA[(a2 + 1) % 4][0] - RA[a2][0];
+      double rdy = RA[(a2 + 1) % 4][1] - RA[a2][1];
+      double d2x = ua[(b2 + 1) % 4] - ua[b2];
+      double d2y = va[(b2 + 1) % 4] - va[b2];
+      double dfx = ua[b2] - RA[a2][0], dfy = va[b2] - RA[a2][1];
+      double denom = rdx * d2y - rdy * d2x;
+      double ds = std::fabs(denom) < eps ? 1.0 : denom;
+      double ta = (dfx * d2y - dfy * d2x) / ds;
+      double tb = (dfx * rdy - dfy * rdx) / ds;
+      valid[idx] = std::fabs(denom) >= eps && ta >= -tol && ta <= 1 + tol &&
+                   tb >= -tol && tb <= 1 + tol;
+      ua[idx] = RA[a2][0] + ta * rdx;
+      va[idx] = RA[a2][1] + ta * rdy;
+      wa[idx] = plane_w(ua[idx], va[idx]);
+    }
+  for (int c = 0; c < 24; c++)
+    gap[c] = valid[c] ? sgn * wa[c] - hw : BB_BIG;
+
+  // top-4 smallest gap, ties by lower index (lax.top_k semantics)
+  int order[24];
+  for (int c = 0; c < 24; c++) order[c] = c;
+  std::stable_sort(order, order + 24,
+                   [&](int a2, int b2) { return gap[a2] < gap[b2]; });
+
+  BBManifold out;
+  out.sep = sep[k];
+  out.n_local = vset(k, sgn);
+  for (int c = 0; c < 4; c++) {
+    int i = order[c];
+    out.dist[c] = gap[i];
+    double wmid = 0.5 * (sgn * hw + wa[i]);
+    out.pos_local[c] = vset(k1, ua[i]) + vset(k2, va[i]) + vset(k, wmid);
+  }
+  return out;
+}
+
+void box_box(const Vec3& p1, const Mat3& m1, const Vec3& h1, const Vec3& p2,
+             const Mat3& m2, const Vec3& h2, Contact out[4]) {
+  BBManifold f1 = bb_face_manifold(p1, m1, h1, p2, m2, h2);
+  BBManifold f2 = bb_face_manifold(p2, m2, h2, p1, m1, h1);
+  bool use2 = f2.sep > f1.sep + 1e-8;
+  const BBManifold& f = use2 ? f2 : f1;
+  const Mat3& fm = use2 ? m2 : m1;
+  const Vec3& fp = use2 ? p2 : p1;
+  for (int c = 0; c < 4; c++) {
+    out[c].dist = f.dist[c];
+    out[c].pos = fp + fm.mul(f.pos_local[c]);
+    out[c].normal = fm.mul(f.n_local) * (use2 ? -1.0 : 1.0);
+  }
+
+  // edge-edge SAT (9 cross axes, box1 frame)
+  Mat3 R;
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) {
+      double s = 0;
+      for (int q = 0; q < 3; q++) s += m1.m[q][i] * m2.m[q][j];
+      R.m[i][j] = s;
+    }
+  Vec3 t = m1.tmul(p2 - p1);
+  double best = -BB_BIG;
+  int bi = 0, bj = 0;
+  Vec3 ble;
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) {
+      Vec3 l = vset(i, 1.0).cross(R.col(j));
+      double n2 = l.norm();
+      double sepe = -BB_BIG;
+      Vec3 lh;
+      if (n2 > 1e-6) {
+        lh = l * (1.0 / n2);
+        double td = lh.dot(t);
+        if (td < 0) {
+          lh = lh * -1.0;
+          td = -td;
+        }
+        double supp1 = 0, supp2 = 0;
+        for (int q = 0; q < 3; q++) {
+          supp1 += h1[q] * std::fabs(lh[q]);
+          supp2 += h2[q] * std::fabs(lh.dot(R.col(q)));
+        }
+        sepe = td - supp1 - supp2;
+      }
+      if (sepe > best) {  // strict: first max wins, matching jnp.argmax
+        best = sepe;
+        bi = i;
+        bj = j;
+        ble = lh;
+      }
+    }
+  double sep_face = std::max(f1.sep, f2.sep);
+  if (best > sep_face + 1e-8) {
+    // supporting edges and their closest points (box1 frame)
+    Vec3 sgn1{0, 0, 0}, sgn2{0, 0, 0};
+    double s1c[3], s2c[3];
+    Vec3 le2 = R.tmul(ble);
+    for (int q = 0; q < 3; q++) {
+      s1c[q] = q == bi ? 0.0 : (ble[q] >= 0 ? 1.0 : -1.0) * h1[q];
+      s2c[q] = q == bj ? 0.0 : (le2[q] >= 0 ? -1.0 : 1.0) * h2[q];
+    }
+    Vec3 pA{s1c[0], s1c[1], s1c[2]};
+    Vec3 dA = vset(bi, 1.0);
+    double hA = h1[bi];
+    Vec3 pB = t + R.mul(Vec3{s2c[0], s2c[1], s2c[2]});
+    Vec3 dB = R.col(bj);
+    double hB = h2[bj];
+    Vec3 s1a = pA - dA * hA, s1b = pA + dA * hA;
+    Vec3 s2a = pB - dB * hB, s2b = pB + dB * hB;
+    Vec3 dd1 = s1b - s1a, dd2 = s2b - s2a, rr = s1a - s2a;
+    double a = dd1.dot(dd1), e = dd2.dot(dd2), ff = dd2.dot(rr);
+    double c = dd1.dot(rr), b = dd1.dot(dd2);
+    double denom = std::max(a * e - b * b, 1e-12);
+    double ss = std::min(std::max((b * ff - c * e) / denom, 0.0), 1.0);
+    double tt = std::min(
+        std::max((b * ss + ff) / std::max(e, 1e-12), 0.0), 1.0);
+    ss = std::min(std::max((b * tt - c) / std::max(a, 1e-12), 0.0), 1.0);
+    Vec3 q1 = s1a + dd1 * ss, q2e = s2a + dd2 * tt;
+    out[0].dist = best;
+    out[0].pos = p1 + m1.mul((q1 + q2e) * 0.5);
+    out[0].normal = m1.mul(ble);
+    for (int c2 = 1; c2 < 4; c2++) {
+      out[c2].dist = BB_BIG;
+      out[c2].pos = {0, 0, 0};
+      out[c2].normal = {0, 0, 1};
+    }
+  }
+  for (int c2 = 0; c2 < 4; c2++)
+    if (out[c2].dist >= BB_BIG * 0.5) out[c2].normal = {0, 0, 1};
+}
+
 // per-contact metadata mirrors engine.py push_meta
 struct ConMeta {
   int body1, body2, condim;
@@ -575,7 +799,7 @@ void contacts(const Model& m, const Mutable& mm, const FK& k,
     geom_frame(g2, &p2, &m2);
     const double* s1 = mm.geom_size + g1 * 3;
     const double* s2 = mm.geom_size + g2 * 3;
-    Contact c1, c2;
+    Contact c1, c2, c3, c4;
     int n_pts = 1;
     switch (kind) {
       case PLANE_SPHERE:
@@ -637,6 +861,17 @@ void contacts(const Model& m, const Mutable& mm, const FK& k,
         sphere_box_raw(p1, s1[0], p2, m2, half, &c1);
         break;
       }
+      case BOX_BOX: {
+        Vec3 ha{s1[0], s1[1], s1[2]}, hb{s2[0], s2[1], s2[2]};
+        Contact cb[4];
+        box_box(p1, m1, ha, p2, m2, hb, cb);
+        n_pts = 4;
+        c1 = cb[0];
+        c2 = cb[1];
+        c3 = cb[2];
+        c4 = cb[3];
+        break;
+      }
       default:
         continue;
     }
@@ -655,8 +890,14 @@ void contacts(const Model& m, const Mutable& mm, const FK& k,
                             m.a("geom_solimp")[g2 * 3 + q]);
     out->push_back(c1);
     meta->push_back(cm);
-    if (n_pts == 2) {
+    if (n_pts >= 2) {
       out->push_back(c2);
+      meta->push_back(cm);
+    }
+    if (n_pts >= 4) {
+      out->push_back(c3);
+      meta->push_back(cm);
+      out->push_back(c4);
       meta->push_back(cm);
     }
   }
@@ -803,9 +1044,11 @@ vector<double> constraint_forces(const Model& m, const Mutable& mm,
     double r_imp = rows[i].kind == 1 ? rows[rows[i].nidx].r : rows[i].r;
     double d = impedance(rows[i].solimp, r_imp);
     dimp[i] = d;
+    // exact MuJoCo spring constants: b = 2/(dmax*tc), k = d/(dmax^2 tc^2 dr^2)
     double tc = rows[i].solref[0], dr = rows[i].solref[1];
-    double b = 2.0 / std::max(tc, 1e-8);
-    double k = d / std::max(tc * tc * dr * dr, 1e-10);
+    double dmax = rows[i].solimp[1];
+    double b = 2.0 / std::max(dmax * tc, 1e-8);
+    double k = d / std::max(dmax * dmax * tc * tc * dr * dr, 1e-10);
     double vel = 0;
     for (int q = 0; q < nv; q++) vel += rows[i].J[q] * qvel[q];
     double r_term = rows[i].kind == 1 ? 0.0 : rows[i].r;
