@@ -258,7 +258,14 @@ class MetaMLPDynamicsModel:
             return (params, opt_state, jnp.mean(posts), jnp.mean(pres),
                     jnp.mean(vlosses))
 
-        fn = jax.jit(epoch_fn)
+        if getattr(self, 'mesh', None) is not None:
+            # sharded meta-learner: path-major train/valid arrays sharded
+            # over the mesh 'env' axis (paths ARE env episodes), params
+            # replicated; GSPMD inserts the gradient psums
+            from learning_to_adapt_tpu.parallel import mesh as par_mesh
+            fn = par_mesh.jit_epoch_sharded(self.mesh, epoch_fn, 8, {3, 4})
+        else:
+            fn = jax.jit(epoch_fn)
         self._epoch_cache[ck] = fn
         return fn
 

@@ -218,7 +218,13 @@ class MLPDynamicsModel:
             valid_loss = loss_fn(params, norm, te_obs, te_act, te_delta, te_w)
             return params, opt_state, jnp.mean(losses), valid_loss
 
-        fn = jax.jit(epoch_fn)
+        if getattr(self, 'mesh', None) is not None:
+            # DP learner: train/valid rows sharded over the mesh 'env'
+            # axis, params/opt-state replicated (parallel/mesh.py)
+            from learning_to_adapt_tpu.parallel import mesh as par_mesh
+            fn = par_mesh.jit_epoch_sharded(self.mesh, epoch_fn, 6, {3, 4})
+        else:
+            fn = jax.jit(epoch_fn)
         self._epoch_cache[cache_key] = fn
         return fn
 
@@ -227,17 +233,25 @@ class MLPDynamicsModel:
         """Normalized-space forward: returns normalized delta prediction."""
         x = jnp.concatenate([norm.norm_obs(obs), norm.norm_act(act)], axis=-1)
         if self.n_members > 1:
-            # vmap over the member axis; inputs broadcast to all members
+            # vmap over the member axis; inputs broadcast to all members.
+            # NB ensembles deliberately stay on the XLA forward — the fused
+            # Pallas kernel is not validated under vmap batching, so members
+            # do not get the VMEM-fusion speedup (single-member models do).
             return jax.vmap(lambda p: core.mlp_forward(
                 p, x, self.hidden_nonlinearity, self.output_nonlinearity,
                 compute_dtype))(params)
         # planner-path batches route through the fused Pallas kernel on TPU
         # (inter-layer activations stay in VMEM instead of round-tripping
-        # HBM); training (compute_dtype=None) and small batches stay on XLA
+        # HBM); training (compute_dtype=None), small batches, and
+        # mesh-sharded programs (allow_fused_kernel unset by the sharded
+        # rollout builder) stay on XLA
         from learning_to_adapt_tpu.ops import fused_mlp
         return fused_mlp.planner_forward(params, x, self.hidden_nonlinearity,
                                          self.output_nonlinearity,
-                                         compute_dtype)
+                                         compute_dtype,
+                                         allow_fused=getattr(
+                                             self, 'allow_fused_kernel',
+                                             True))
 
     def predict_fn(self, params, norm, obs, act):
         """Pure jittable prediction: obs' = obs + denorm(f(norm(obs,act))).

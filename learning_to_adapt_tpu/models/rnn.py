@@ -277,7 +277,13 @@ class RNNDynamicsModel:
             valid_loss = jnp.sum(err * te_w) / jnp.maximum(te_w.sum(), 1.0)
             return params, opt_state, jnp.mean(losses), valid_loss
 
-        fn = jax.jit(epoch_fn)
+        if getattr(self, 'mesh', None) is not None:
+            # sharded recurrent learner: path-major sequences sharded over
+            # the mesh 'env' axis, params replicated (parallel/mesh.py)
+            from learning_to_adapt_tpu.parallel import mesh as par_mesh
+            fn = par_mesh.jit_epoch_sharded(self.mesh, epoch_fn, 7, {3, 4})
+        else:
+            fn = jax.jit(epoch_fn)
         self._epoch_cache[ck] = fn
         return fn
 

@@ -136,6 +136,8 @@ class NativePhysics:
                 ('body_ancestor', m.body_ancestor.astype(np.float64)),
                 ('dof_ancestor', m.dof_ancestor.astype(np.float64)),
                 ('body_dof', m.body_dof.astype(np.float64)),
+                ('dof_invweight0', m.dof_invweight0),
+                ('body_invweight0', m.body_invweight0),
         ]:
             put(name, value)
 

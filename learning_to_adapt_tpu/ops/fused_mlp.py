@@ -50,15 +50,20 @@ def _kernel(n_layers, hidden_nonlinearity, x_ref, *refs):
                 h = h * jax.nn.sigmoid(h)
             elif hidden_nonlinearity == 'sigmoid':
                 h = jax.nn.sigmoid(h)
-    out_ref[:] = h
+    # kernel accumulates f32; cast back for non-f32 callers (bf16 x)
+    out_ref[:] = h.astype(out_ref.dtype)
 
 
 def _weights_fit_vmem(params):
-    bytes_w = sum(int(np.prod(w.shape)) * 4 + int(np.prod(b.shape)) * 4
+    # weights are cast to bf16 by the caller (2 B); biases stay f32
+    bytes_w = sum(int(np.prod(w.shape)) * 2 + int(np.prod(b.shape)) * 4
                   for w, b in zip(params['w'], params['b']))
-    # plus one activation tile per layer boundary (conservatively the max)
+    # resident activations per grid step: the x tile, the out tile, and
+    # (conservatively double-buffered) the widest inter-layer activation
+    in_dim = int(params['w'][0].shape[0])
+    out_dim = int(params['w'][-1].shape[1])
     max_feat = max(int(w.shape[1]) for w in params['w'])
-    act = _TILE_ROWS * max_feat * 4 * 2
+    act = _TILE_ROWS * (in_dim + out_dim + 2 * max_feat) * 4
     return bytes_w + act < _VMEM_BUDGET
 
 
@@ -70,15 +75,23 @@ def supported(params, backend=None):
 
 
 def planner_forward(params, x, hidden_nonlinearity='relu',
-                    output_nonlinearity=None, compute_dtype=None):
+                    output_nonlinearity=None, compute_dtype=None,
+                    allow_fused=True):
     """Inference-path MLP forward for the planners: dispatches to the fused
     Pallas kernel when it is profitable (TPU backend, bf16 compute, identity
     output, batch at least one row tile, weights fit VMEM), otherwise falls
     back to the plain XLA forward. The decision is made at trace time, so
     the same model code compiles to either path with zero runtime branching.
+
+    allow_fused: pass False inside GSPMD-sharded programs — tpu_custom_call
+    has no SPMD partitioning rule, so a pallas_call inside a mesh-sharded
+    rollout would force the env-sharded batch to be replicated/all-gathered
+    (or fail to partition). make_rollout_fn sets this off when it builds a
+    sharded program (samplers/rollout.py).
     """
     from learning_to_adapt_tpu.models import core
-    if (compute_dtype == jnp.bfloat16
+    if (allow_fused
+            and compute_dtype == jnp.bfloat16
             and output_nonlinearity is None
             and isinstance(hidden_nonlinearity, str)
             and hidden_nonlinearity in _KERNEL_NONLINEARITIES

@@ -99,3 +99,21 @@ def psum_normalizer_stats(obs, act, delta, axis_name='env'):
         var = jnp.maximum(ss / n - jnp.square(mean), 0.0)
         return mean, jnp.sqrt(var)
     return tuple(global_stats(x) for x in (obs, act, delta))
+
+
+def jit_epoch_sharded(mesh: Mesh, epoch_fn, n_args: int, data_argnums):
+    """jit an epoch function with the pytree arguments at `data_argnums`
+    sharded on their leading axis over the mesh 'env' axis and everything
+    else (params, opt state, normalizer, PRNG key) replicated. GSPMD then
+    partitions the whole epoch — per-shard grads, automatic psum for the
+    loss/grad reductions — with numerics matching the single-device
+    program (same batch composition; only reduction order differs).
+
+    This is the path the real model fit loops use when `model.mesh` is set
+    (models/{mlp,meta_mlp,rnn}.py::_get_epoch_fn) — the learner itself
+    trains data-parallel, not just the rollout (BASELINE config #5)."""
+    data = NamedSharding(mesh, P('env'))
+    repl = NamedSharding(mesh, P())
+    in_sh = tuple(data if i in set(data_argnums) else repl
+                  for i in range(n_args))
+    return jax.jit(epoch_fn, in_shardings=in_sh, out_shardings=repl)

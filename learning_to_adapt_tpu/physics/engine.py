@@ -136,10 +136,14 @@ def _mass_properties(model, mm, xpos, xquat, ximat):
 def _contacts(model: PhysicsModel, mm: MutableModel, gpos, gmat):
     """Run all narrow-phase kernels over the static pair list.
 
-    Returns per-candidate arrays: dist (n,), pos (n,3), normal (n,3) plus
-    static numpy metadata (body1, body2, mu, solref, solimp, margin, condim).
+    Returns per-candidate arrays: dist (n,), pos (n,3), normal (n,3),
+    thint (n,3) plus static numpy metadata (body1, body2, mu, solref,
+    solimp, margin, condim). thint is the friction-frame tangent hint —
+    MuJoCo's capsule-plane collider aligns t1 with the capsule long axis
+    (observed in mj contact.frame; tests/test_mujoco_crosscheck.py) — or
+    zeros when the default frame applies.
     """
-    dists, poss, normals = [], [], []
+    dists, poss, normals, hints = [], [], [], []
     meta = dict(body1=[], body2=[], mu=[], solref=[], solimp=[], margin=[],
                 condim=[])
 
@@ -153,8 +157,11 @@ def _contacts(model: PhysicsModel, mm: MutableModel, gpos, gmat):
                                          model.geom_solref[g2]))
             meta['solimp'].append(0.5 * (model.geom_solimp[g1] +
                                          model.geom_solimp[g2]))
-            meta['margin'].append(max(model.geom_margin[g1],
-                                      model.geom_margin[g2]))
+            # MuJoCo includemargin: the two geom margins ADD (each margin
+            # expands its geom's surface; verified vs mj contact.includemargin
+            # in tests/test_mujoco_crosscheck.py)
+            meta['margin'].append(model.geom_margin[g1] +
+                                  model.geom_margin[g2])
             meta['condim'].append(max(int(model.geom_condim[g1]),
                                       int(model.geom_condim[g2])))
 
@@ -203,16 +210,21 @@ def _contacts(model: PhysicsModel, mm: MutableModel, gpos, gmat):
         dists.append(d.reshape(-1))
         poss.append(p.reshape(-1, 3))
         normals.append(n.reshape(-1, 3))
+        if kind in ('plane_capsule', 'hfield_capsule'):
+            h = jnp.repeat(m2[:, :, 2][:, None, :], n_pts, axis=1)
+        else:
+            h = jnp.zeros((len(pairs), n_pts, 3), gpos.dtype)
+        hints.append(h.reshape(-1, 3))
         for g1, g2 in pairs:
             push_meta(int(g1), int(g2), n_pts)
 
     if not dists:
         z = jnp.zeros((0,), gpos.dtype)
-        return z, z.reshape(0, 3), z.reshape(0, 3), {
+        return z, z.reshape(0, 3), z.reshape(0, 3), z.reshape(0, 3), {
             k: np.zeros((0,) + np.shape(v[:1])[1:]) for k, v in meta.items()}
     meta = {k: np.asarray(v) for k, v in meta.items()}
     return (jnp.concatenate(dists), jnp.concatenate(poss),
-            jnp.concatenate(normals), meta)
+            jnp.concatenate(normals), jnp.concatenate(hints), meta)
 
 
 def _point_jacobian(model, cdof, body, point):
@@ -224,20 +236,27 @@ def _point_jacobian(model, cdof, body, point):
 
 def _impedance(solimp, r):
     """MuJoCo impedance d(r) in (0,1): rises dmin->dmax over `width` of
-    penetration. r <= 0 when violated."""
+    penetration along the power curve y = a*x^p / 1-b*(1-x)^p split at
+    midpoint 0.5 with power 2 (the MuJoCo solimp defaults; none of the
+    reference XMLs override them). r <= 0 when violated. Cross-validated
+    against open-source MuJoCo in tests/test_mujoco_crosscheck.py."""
     dmin, dmax, width = solimp[..., 0], solimp[..., 1], solimp[..., 2]
+    mid, p = 0.5, 2.0
     x = jnp.clip(-r / jnp.maximum(width, 1e-10), 0.0, 1.0)
-    s = x * x * (3.0 - 2.0 * x)  # smoothstep
-    return jnp.clip(dmin + (dmax - dmin) * s, 1e-4, 1.0 - 1e-6)
+    a_c = 1.0 / mid ** (p - 1.0)
+    b_c = 1.0 / (1.0 - mid) ** (p - 1.0)
+    s = jnp.where(x <= mid, a_c * x ** p, 1.0 - b_c * (1.0 - x) ** p)
+    return jnp.clip(dmin + (dmax - dmin) * s, 1e-4, 0.9999)
 
 
-def _kb(solref, solimp, d):
+def _kb(solref, solimp, d, dt):
     """Stiffness/damping of the virtual constraint spring. Exact MuJoCo
     solref=(timeconst, dampratio) semantics: b = 2/(dmax*tc),
-    k = d / (dmax^2 * tc^2 * dr^2) with dmax = solimp[1] (MuJoCo docs,
-    Computation chapter; cross-validated vs open-source MuJoCo in
-    tests/test_mujoco_crosscheck.py)."""
+    k = d / (dmax^2 * tc^2 * dr^2) with dmax = solimp[1], and tc clamped
+    to >= 2*timestep exactly as MuJoCo does (cross-validated against
+    open-source MuJoCo efc_KBIP in tests/test_mujoco_crosscheck.py)."""
     tc, dr = solref[..., 0], solref[..., 1]
+    tc = jnp.maximum(tc, 2.0 * dt)
     dmax = solimp[..., 1]
     b = 2.0 / jnp.maximum(dmax * tc, 1e-8)
     k = d / jnp.maximum(dmax * dmax * tc * tc * dr * dr, 1e-10)
@@ -337,7 +356,7 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
 
     # ---- static row structure (numpy, computed at trace time) ----
     # joint limit rows: two per limited joint; J is a constant +-one-hot
-    lim_qadr, lim_sign, lim_bound, lim_j = [], [], [], []
+    lim_qadr, lim_sign, lim_bound, lim_j, lim_dadr = [], [], [], [], []
     lim_solref, lim_solimp = [], []
     for ji in range(model.njnt):
         if not model.jnt_limited[ji] or model.jnt_type[ji] == FREE:
@@ -348,6 +367,7 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
             lim_qadr.append(qadr)
             lim_sign.append(sign)
             lim_bound.append(bound)
+            lim_dadr.append(dadr)
             row = np.zeros(model.nv)
             row[dadr] = sign
             lim_j.append(row)
@@ -357,25 +377,31 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
 
     # ---- contacts (vectorized narrow phase) ----
     gpos, gmat = _geom_frames(model, mm, aux['xpos'], aux['ximat'])
-    dist, pos, normal, cmeta = _contacts(model, mm, gpos, gmat)
+    dist, pos, normal, thint, cmeta = _contacts(model, mm, gpos, gmat)
     ncon = dist.shape[0]
     if nlim == 0 and ncon == 0:
         return jnp.zeros(model.nv, dtype)
 
-    rows_j, rows_r = [], []
-    solref_np, solimp_np = [], []
-    kind_list, mu_list, nidx_list = [], [], []
+    # Every row is a non-negative force direction (MuJoCo pyramidal
+    # formulation): limits and frictionless contact normals directly, and
+    # condim>=3 contacts as 4 pyramid facets J = Jn +- mu*Jt_i. All-f>=0
+    # projection keeps the solver branch-free — TPU-friendlier than coupled
+    # cone clipping, and it is exactly MuJoCo's default cone (cross-validated
+    # against open-source MuJoCo efc_J rows, tests/test_mujoco_crosscheck.py).
+    rows_j, rows_r, rows_active = [], [], []
+    solref_np, solimp_np, da_np = [], [], []
 
     if nlim:
         q_l = state.qpos[np.asarray(lim_qadr)]
         r_lim = np.asarray(lim_sign) * (q_l - np.asarray(lim_bound))
         rows_j.append(jnp.asarray(np.stack(lim_j), dtype))
         rows_r.append(r_lim.astype(dtype))
+        rows_active.append(r_lim < 0.0)
         solref_np.extend(lim_solref)
         solimp_np.extend(lim_solimp)
-        kind_list.extend([0] * nlim)
-        mu_list.extend([0.0] * nlim)
-        nidx_list.extend(range(nlim))
+        # regularizer weights are MuJoCo's compile-time constants, not the
+        # exact current-state A_ii (mj_diagApprox semantics)
+        da_np.extend(model.dof_invweight0[dadr] for dadr in lim_dadr)
 
     if ncon:
         # point jacobians for ALL contacts in one shot:
@@ -387,95 +413,99 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
         jp = jp * jnp.asarray(mask_diff, dtype)[:, :, None]    # (ncon,nv,3)
 
         j_n = jnp.einsum('cki,ci->ck', jp, normal)             # (ncon, nv)
+        # MuJoCo constraint position for contacts: dist - includemargin
+        # (both the spring and the impedance use it; verified vs mj
+        # efc_KBIP/efc_aref in tests/test_mujoco_crosscheck.py)
         r_con = dist - jnp.asarray(cmeta['margin'], dtype)
+        act_con = r_con < 0.0
+        w12 = (model.body_invweight0[cmeta['body1']] +
+               model.body_invweight0[cmeta['body2']])          # (ncon,) np
 
-        rows_j.append(j_n)
-        rows_r.append(r_con)
-        solref_np.extend(list(cmeta['solref']))
-        solimp_np.extend(list(cmeta['solimp']))
-        kind_list.extend([0] * ncon)
-        mu_list.extend([0.0] * ncon)
-        normal_row_of_contact = [nlim + c for c in range(ncon)]
-        nidx_list.extend(normal_row_of_contact)
+        one_c = np.nonzero(cmeta['condim'] < 3)[0]
+        if one_c.size:
+            rows_j.append(j_n[one_c])
+            rows_r.append(r_con[one_c])
+            rows_active.append(act_con[one_c])
+            solref_np.extend(list(cmeta['solref'][one_c]))
+            solimp_np.extend(list(cmeta['solimp'][one_c]))
+            da_np.extend(list(w12[one_c]))
 
-        # friction rows for contacts with condim >= 3 (static subset)
-        fric_c = np.nonzero(cmeta['condim'] >= 3)[0]
-        if fric_c.size:
-            t1, t2 = _tangent_frame(normal[fric_c])
-            jp_f = jp[fric_c]
-            for t in (t1, t2):
-                rows_j.append(jnp.einsum('cki,ci->ck', jp_f, t))
-                rows_r.append(jnp.zeros(fric_c.size, dtype))
-                solref_np.extend(list(cmeta['solref'][fric_c]))
-                solimp_np.extend(list(cmeta['solimp'][fric_c]))
-                kind_list.extend([1] * fric_c.size)
-                mu_list.extend(list(cmeta['mu'][fric_c]))
-                nidx_list.extend(nlim + c for c in fric_c)
+        pyr_c = np.nonzero(cmeta['condim'] >= 3)[0]
+        if pyr_c.size:
+            n_p = normal[pyr_c]
+            t1, t2 = _tangent_frame(n_p)
+            # align t1 with the collider's tangent hint (capsule long axis
+            # projected into the contact plane) when one exists — matches
+            # MuJoCo's capsule contact frames, which orient the friction
+            # pyramid
+            h = thint[pyr_c]
+            hp = h - jnp.sum(h * n_p, -1, keepdims=True) * n_p
+            hn = jnp.linalg.norm(hp, axis=-1, keepdims=True)
+            use = hn > 1e-6
+            t1 = jnp.where(use, hp / jnp.maximum(hn, 1e-12), t1)
+            t2 = jnp.cross(n_p, t1)
+            jp_f = jp[pyr_c]
+            j_t1 = jnp.einsum('cki,ci->ck', jp_f, t1)
+            j_t2 = jnp.einsum('cki,ci->ck', jp_f, t2)
+            mu_p = jnp.asarray(cmeta['mu'][pyr_c], dtype)[:, None]
+            jn_p = j_n[pyr_c]
+            facets = jnp.stack(
+                [jn_p + mu_p * j_t1, jn_p - mu_p * j_t1,
+                 jn_p + mu_p * j_t2, jn_p - mu_p * j_t2],
+                axis=1)                                        # (npyr,4,nv)
+            rows_j.append(facets.reshape(-1, model.nv))
+            rows_r.append(jnp.repeat(r_con[pyr_c], 4))
+            rows_active.append(jnp.repeat(act_con[pyr_c], 4))
+            solref_np.extend(list(np.repeat(cmeta['solref'][pyr_c], 4,
+                                            axis=0)))
+            solimp_np.extend(list(np.repeat(cmeta['solimp'][pyr_c], 4,
+                                            axis=0)))
+            mu_np = cmeta['mu'][pyr_c]
+            da_np.extend(list(np.repeat(
+                2.0 * mu_np ** 2 * (1.0 + mu_np ** 2) * w12[pyr_c], 4)))
 
     J = jnp.concatenate(rows_j, axis=0)          # (nrows, nv)
     r_pos = jnp.concatenate(rows_r)
+    active = jnp.concatenate(rows_active)
     solref = jnp.asarray(np.asarray(solref_np), dtype)
     solimp = jnp.asarray(np.asarray(solimp_np), dtype)
-    kind = np.asarray(kind_list)                 # static
-    mu = jnp.asarray(np.asarray(mu_list), dtype)
-    nidx = np.asarray(nidx_list)                 # static
-    nrows = len(kind_list)
+    dA = jnp.asarray(np.asarray(da_np, np.float64), dtype)
+    nrows = int(J.shape[0])
 
-    # active mask: normal/limit rows need r < 0; friction rows follow their
-    # normal row
-    active_own = r_pos < 0.0
-    active = jnp.where(jnp.asarray(kind == 1), active_own[nidx], active_own)
-
-    # rows whose constraint direction is (numerically) immovable — J M^-1 J^T
-    # diagonal ~ 0, e.g. a deep contact sitting on the joint axes — cannot be
-    # resolved and must be dropped, or PGS divides by ~0 and explodes
-    chol = jax.scipy.linalg.cho_factor(mass_mat)
-    minv_jt_raw = jax.scipy.linalg.cho_solve(chol, J.T)   # (nv, nrows)
-    diag0 = jnp.sum(J * minv_jt_raw.T, axis=1)
-    active = active & (diag0 > 1e-7 * (1.0 + jnp.max(diag0)))
     J = J * active[:, None]
-    minv_jt = minv_jt_raw * active[None, :]
+    chol = jax.scipy.linalg.cho_factor(mass_mat)
+    minv_jt = jax.scipy.linalg.cho_solve(chol, J.T)       # (nv, nrows)
 
     # impedance, spring params
-    r_imp = jnp.where(jnp.asarray(kind == 1), r_pos[nidx], r_pos)
-    d = _impedance(solimp, r_imp)
-    k, b = _kb(solref, solimp, d)
+    d = _impedance(solimp, r_pos)
+    k, b = _kb(solref, solimp, d, model.timestep)
     vel = J @ qvel
-    aref = -b * vel - k * jnp.where(jnp.asarray(kind == 1),
-                                    jnp.zeros_like(r_pos), r_pos)
-    aref = aref * active
+    aref = (-b * vel - k * r_pos) * active
 
-    # A = J M^-1 J^T (+ regularizer R from impedance)
+    # A = J M^-1 J^T + diag(R), R from impedance and compile-time weights
     A = J @ minv_jt
-    diag_a = jnp.clip(jnp.diag(A), 1e-10, None)
-    R = jnp.maximum((1.0 - d) / d * diag_a, 1e-8)
+    R = jnp.maximum((1.0 - d) / jnp.maximum(d, 1e-10) * dA, 1e-12)
     R = jnp.where(active, R, 1.0)
     A = A + jnp.diag(R)
-    a_ii_inv = 1.0 / jnp.clip(jnp.diag(A), 1e-10, None)
+    a_ii_inv = 1.0 / jnp.clip(jnp.diag(A), 1e-12, None)
 
     qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
     b_vec = (J @ qacc_smooth - aref) * active
 
-    kind_j = jnp.asarray(kind)
-    nidx_j = jnp.asarray(nidx)
-    is_fric = kind_j == 1
-
-    def project(f):
-        fn = f[nidx_j]
-        return jnp.where(is_fric, jnp.clip(f, -mu * fn, mu * fn),
-                         jnp.maximum(f, 0.0))
-
     if model.solver == 'jacobi':
-        # projected Jacobi with under-relaxation: every sweep is ONE batched
-        # matvec (MXU-friendly; no sequential row scan inside the step). The
-        # diagonal regularizer R keeps A strictly diagonally-dominant enough
-        # for omega=0.5 on these shallow contact stacks; iterations are
-        # doubled relative to Gauss-Seidel to compensate.
-        omega = jnp.asarray(0.5, dtype)
+        # projected Jacobi with adaptive under-relaxation: every sweep is
+        # ONE batched matvec (MXU-friendly; no sequential row scan inside
+        # the step). omega = 1/rho with rho the row-sum bound on the
+        # spectral radius of D^-1 A guarantees contraction of the linear
+        # part even on strongly-coupled stacks (the blocks env's box piles
+        # diverge under a fixed omega); for well-conditioned contact sets
+        # rho ~ 1 so omega ~ 1 and convergence is faster than fixed 0.5.
+        rho = jnp.max(jnp.sum(jnp.abs(A), axis=1) * a_ii_inv)
+        omega = jnp.minimum(jnp.asarray(1.0, dtype),
+                            1.8 / jnp.maximum(rho, 1e-10))
 
         def sweep(_, f):
-            f = f - omega * (A @ f + b_vec) * a_ii_inv
-            return project(f)
+            return jnp.maximum(f - omega * (A @ f + b_vec) * a_ii_inv, 0.0)
 
         f0 = jnp.zeros(nrows, dtype)
         f = jax.lax.fori_loop(0, 2 * model.iterations, sweep, f0)
@@ -483,17 +513,12 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
         # projected Gauss-Seidel: lax.scan over rows inside fori over sweeps
         def sweep(_, f):
             def row(f, xs):
-                a_row, b_i, aii_inv, kd, mu_i, ni, i = xs
-                fi = f[i] - (a_row @ f + b_i) * aii_inv
-                fn = f[ni]
-                fi = jnp.where(kd == 0, jnp.maximum(fi, 0.0),
-                               jnp.clip(fi, -mu_i * fn, mu_i * fn))
+                a_row, b_i, aii_inv, i = xs
+                fi = jnp.maximum(f[i] - (a_row @ f + b_i) * aii_inv, 0.0)
                 return f.at[i].set(fi), None
 
-            f, _ = jax.lax.scan(
-                row, f,
-                (A, b_vec, a_ii_inv, kind_j, mu, nidx_j,
-                 jnp.arange(nrows)))
+            f, _ = jax.lax.scan(row, f,
+                                (A, b_vec, a_ii_inv, jnp.arange(nrows)))
             return f
 
         f0 = jnp.zeros(nrows, dtype)

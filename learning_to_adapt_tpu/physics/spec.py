@@ -17,10 +17,12 @@ equivalent is a small Python spec (bodies / joints / geoms / actuators) that is
 Builtin environment models are defined programmatically (envs/model_defs.py);
 an MJCF-subset XML loader on top of this spec lives in physics/mjcf.py.
 """
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 # ---------------------------------------------------------------------------
@@ -207,6 +209,11 @@ class PhysicsModel:
     joint_names: Tuple[str, ...]
     geom_names: Tuple[str, ...]
     actuator_names: Tuple[str, ...]
+    # compile-time constraint-regularizer weights (MuJoCo mj_setConst
+    # equivalents, computed at qpos0; runtime task edits leave them stale
+    # exactly as MuJoCo does when the reference mutates body_mass etc.)
+    dof_invweight0: Optional[np.ndarray] = None   # (nv,) diag(M0^-1)
+    body_invweight0: Optional[np.ndarray] = None  # (nbody,) tr(Jc M0^-1 Jc^T)/3
 
     def body_id(self, name):
         return self.body_names.index(name)
@@ -631,7 +638,7 @@ def compile_spec(spec: ModelSpec) -> PhysicsModel:
     init_qpos = (np.asarray(spec.init_qpos, np.float64)
                  if spec.init_qpos is not None else None)
 
-    return PhysicsModel(
+    model = PhysicsModel(
         name=spec.name,
         nq=nq, nv=nv, nu=nu, nbody=nbody, ngeom=ngeom, njnt=njnt,
         timestep=spec.option.timestep,
@@ -668,3 +675,57 @@ def compile_spec(spec: ModelSpec) -> PhysicsModel:
         body_names=tuple(body_names), joint_names=tuple(joint_names),
         geom_names=tuple(geom_names), actuator_names=tuple(actuator_names),
     )
+    return _with_invweights(model)
+
+
+def _with_invweights(model: PhysicsModel) -> PhysicsModel:
+    """Attach MuJoCo's compile-time constraint weights (mj_setConst):
+    dof_invweight0 = diag(M0^-1) and body_invweight0 = tr(Jcom M0^-1
+    Jcom^T)/3 at qpos0. These feed the constraint regularizer R — MuJoCo
+    uses these compile-time constants, not the current-state A diagonal
+    (validated vs mj.dof_invweight0/body_invweight0 in
+    tests/test_mujoco_crosscheck.py)."""
+    from . import engine  # deferred: engine imports this module
+
+    mm = jax.tree.map(jnp.asarray, default_mutable(model, np.float64))
+    qpos = jnp.asarray(model.qpos0)
+    st = engine.PhysicsState(qpos=qpos,
+                             qvel=jnp.zeros(model.nv, qpos.dtype))
+    ctrl = jnp.zeros((model.nu,), qpos.dtype)
+    mass_mat, _, aux = engine.smooth_dynamics(model, mm, st, ctrl)
+    minv = jnp.linalg.inv(mass_mat)
+    dof_inv = np.asarray(jnp.diag(minv), np.float64).copy()
+    body_inv, body_inv_rot = [0.0], [0.0]
+    for b in range(1, model.nbody):
+        jc = engine._point_jacobian(model, aux['cdof'], b, aux['xipos'][b])
+        a_mat = jc.T @ (minv @ jc)                       # (3,3)
+        body_inv.append(float(jnp.trace(a_mat)) / 3.0)
+        mask = jnp.asarray(model.body_dof[b], jc.dtype)
+        jr = aux['cdof'][:, :3] * mask[:, None]          # (nv,3) angular
+        a_rot = jr.T @ (minv @ jr)
+        body_inv_rot.append(float(jnp.trace(a_rot)) / 3.0)
+    # free-joint dofs take the body weights (isotropic), not diag(M0^-1) —
+    # matches mj.dof_invweight0 for the Ant free root
+    for ji in range(model.njnt):
+        if model.jnt_type[ji] == FREE:
+            da, b = int(model.jnt_dofadr[ji]), int(model.jnt_body[ji])
+            dof_inv[da:da + 3] = body_inv[b]
+            dof_inv[da + 3:da + 6] = body_inv_rot[b]
+    # MuJoCo marks slide-only leaf bodies with centered inertia as "simple"
+    # (body_simple==2: the spring-loaded blocks, the arm's target) and uses
+    # plain 1/mass for their weights — armature excluded, no /3 dilution
+    # (observed vs mj.body_simple/dof_invweight0 in the crosscheck tests)
+    has_child = set(int(p) for p in model.body_parent[1:])
+    for b in range(1, model.nbody):
+        jis = [ji for ji in range(model.njnt)
+               if int(model.jnt_body[ji]) == b]
+        if (b not in has_child and jis and
+                all(model.jnt_type[ji] == SLIDE for ji in jis) and
+                np.allclose(model.body_ipos[b], 0.0)):
+            w = 1.0 / max(float(model.body_mass0[b]), 1e-12)
+            body_inv[b] = w
+            for ji in jis:
+                dof_inv[int(model.jnt_dofadr[ji])] = w
+    return dataclasses.replace(
+        model, dof_invweight0=dof_inv,
+        body_invweight0=np.asarray(body_inv, np.float64))

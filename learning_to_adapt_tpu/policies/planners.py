@@ -52,9 +52,21 @@ def random_shooting(predict: Callable, reward_fn: Callable, obs, key, *,
 
 def cem(predict, reward_fn, obs, key, *, n_candidates, horizon, act_dim,
         discount=1.0, num_cem_iters=8, percent_elites=0.1, alpha=0.1,
-        act_lo=-1.0, act_hi=1.0):
+        act_lo=-1.0, act_hi=1.0, clip_rollout=True):
     """Cross-entropy method over flattened action sequences (reference
-    mpc_controller.py:71-106: elites = top percent, mean smoothing alpha)."""
+    mpc_controller.py:71-106: elites = top percent, mean smoothing alpha).
+
+    clip_rollout: the reference rolls out the UNCLIPPED Gaussian samples
+    and returns the unclipped first action — only the elite refit uses the
+    clipped copy (`a_stacked = clip(a)` at mpc_controller.py:87, rollout
+    and return from `a` at :89,106). `clip_rollout=False` reproduces that;
+    the default True evaluates/executes in-bounds actions (a conscious
+    improvement, docs/PARITY.md; tests/test_planners.py compares
+    clip_rollout=False against a numpy transcription of the reference).
+    NB the reference's m>1 CEM also scrambles env/candidate pairing
+    (np.repeat env-major obs vs candidate-major action reshape) and fits
+    one elite distribution shared across envs — we keep per-env pairing
+    either way, i.e. its well-defined m=1 semantics generalized."""
     m = obs.shape[0]
     n = n_candidates
     num_elites = max(int(n_candidates * percent_elites), 1)
@@ -76,14 +88,14 @@ def cem(predict, reward_fn, obs, key, *, n_candidates, horizon, act_dim,
         z = jax.random.normal(k, (n, m, horizon * act_dim), obs.dtype)
         a_flat = mean + z * std                      # (n, m, h*A)
         a_clip = jnp.clip(a_flat, act_lo, act_hi)
+        a_exec = a_clip if clip_rollout else a_flat  # what gets rolled out
         # (n, m, h, A) -> (h, n*m, A) with env-major candidate layout:
         # candidate axis must vary fastest within an env block
-        a_seq = a_clip.reshape(n, m, horizon, act_dim)
+        a_seq = a_exec.reshape(n, m, horizon, act_dim)
         a_seq = jnp.transpose(a_seq, (2, 1, 0, 3)).reshape(
             horizon, m * n, act_dim)
         returns = rollout_returns(a_seq).reshape(m, n)
-        # elites: top-k per env over the *unclipped* sample (the reference
-        # refits to a_stacked = clipped samples; we use clipped too)
+        # elite refit always uses the clipped copy (reference a_stacked)
         _, elite_idx = jax.lax.top_k(returns, num_elites)      # (m, k)
         elites = jnp.take_along_axis(
             jnp.swapaxes(a_clip, 0, 1), elite_idx[:, :, None], axis=1)

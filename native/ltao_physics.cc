@@ -248,7 +248,8 @@ struct Model {
                          "geom_friction", "geom_margin", "geom_solref",
                          "geom_solimp", "geom_condim", "act_dofadr",
                          "act_gear", "act_ctrlrange", "body_ancestor",
-                         "dof_ancestor", "body_dof"};
+                         "dof_ancestor", "body_dof", "dof_invweight0",
+                         "body_invweight0"};
     for (const char* k : req)
       if (!f.count(k)) return -1;
     nq = gi("nq", 0);
@@ -476,6 +477,8 @@ Smooth smooth_dynamics(const Model& m, const Mutable& mm, const double* qpos,
 struct Contact {
   double dist;
   Vec3 pos, normal;
+  // friction-frame tangent hint (capsule long axis); zero = default frame
+  Vec3 hint{0, 0, 0};
 };
 
 void sphere_sphere_raw(const Vec3& c1, double r1, const Vec3& c2, double r2,
@@ -809,6 +812,8 @@ void contacts(const Model& m, const Mutable& mm, const FK& k,
         Vec3 axis = m2.col(2);
         plane_sphere(p1, m1, p2 + axis * s2[1], s2[0], &c1);
         plane_sphere(p1, m1, p2 - axis * s2[1], s2[0], &c2);
+        c1.hint = axis;
+        c2.hint = axis;
         n_pts = 2;
         break;
       }
@@ -821,6 +826,8 @@ void contacts(const Model& m, const Mutable& mm, const FK& k,
                       p2 + axis * s2[1], s2[0], &c1);
         hfield_sphere(p1, mm.hf_size, mm.hf_row, mm.hf_ncol,
                       p2 - axis * s2[1], s2[0], &c2);
+        c1.hint = axis;
+        c2.hint = axis;
         n_pts = 2;
         break;
       }
@@ -880,7 +887,8 @@ void contacts(const Model& m, const Mutable& mm, const FK& k,
     cm.body2 = m.gi("geom_body", g2);
     cm.mu = std::max(m.a("geom_friction")[g1 * 3],
                      m.a("geom_friction")[g2 * 3]);
-    cm.margin = std::max(m.a("geom_margin")[g1], m.a("geom_margin")[g2]);
+    // MuJoCo includemargin: the two geom margins ADD
+    cm.margin = m.a("geom_margin")[g1] + m.a("geom_margin")[g2];
     cm.condim = std::max(m.gi("geom_condim", g1), m.gi("geom_condim", g2));
     for (int q = 0; q < 2; q++)
       cm.solref[q] = 0.5 * (m.a("geom_solref")[g1 * 2 + q] +
@@ -908,11 +916,12 @@ void contacts(const Model& m, const Mutable& mm, const FK& k,
 // ---------------------------------------------------------------------------
 
 double impedance(const double* solimp, double r) {
+  // MuJoCo power curve, midpoint 0.5 / power 2 (the solimp defaults)
   double dmin = solimp[0], dmax = solimp[1], width = solimp[2];
   double x = std::min(std::max(-r / std::max(width, 1e-10), 0.0), 1.0);
-  double sm = x * x * (3.0 - 2.0 * x);
+  double sm = x <= 0.5 ? 2.0 * x * x : 1.0 - 2.0 * (1.0 - x) * (1.0 - x);
   double d = dmin + (dmax - dmin) * sm;
-  return std::min(std::max(d, 1e-4), 1.0 - 1e-6);
+  return std::min(std::max(d, 1e-4), 0.9999);
 }
 
 vector<double> constraint_forces(const Model& m, const Mutable& mm,
@@ -921,16 +930,21 @@ vector<double> constraint_forces(const Model& m, const Mutable& mm,
   const int nv = m.nv;
   const auto& bd = m.a("body_dof");
 
+  // MuJoCo pyramidal formulation (engine.py constraint_forces): every row
+  // is a non-negative force direction — limits, frictionless normals, and
+  // condim>=3 contacts as 4 pyramid facets J = Jn +- mu*Jt_i.
   struct Row {
     vector<double> J;
-    double r;  // constraint violation (<0 when active) — 0 on friction rows
+    double r;        // constraint pos (raw signed distance for contacts)
+    bool act;        // limits: r < 0; contacts: dist < margin
     double solref[2];
     double solimp[3];
-    int kind;  // 0 normal/limit, 1 friction
-    double mu;
-    int nidx;  // governing normal row
+    double dA;       // MuJoCo compile-time diagApprox weight
   };
   vector<Row> rows;
+
+  const auto& dof_iw = m.a("dof_invweight0");
+  const auto& body_iw = m.a("body_invweight0");
 
   // joint limit rows: two per limited joint, in joint order
   for (int ji = 0; ji < m.njnt; ji++) {
@@ -945,13 +959,12 @@ vector<double> constraint_forces(const Model& m, const Mutable& mm,
       row.J.assign(nv, 0.0);
       row.J[dadr] = signs[t];
       row.r = signs[t] * (qpos[qadr] - bounds[t]);
+      row.act = row.r < 0.0;
       row.solref[0] = m.a("jnt_solref_limit")[ji * 2];
       row.solref[1] = m.a("jnt_solref_limit")[ji * 2 + 1];
       for (int q = 0; q < 3; q++)
         row.solimp[q] = m.a("jnt_solimp_limit")[ji * 3 + q];
-      row.kind = 0;
-      row.mu = 0.0;
-      row.nidx = (int)rows.size();
+      row.dA = dof_iw[dadr];
       rows.push_back(std::move(row));
     }
   }
@@ -963,96 +976,94 @@ vector<double> constraint_forces(const Model& m, const Mutable& mm,
   const int ncon = (int)cons.size();
   if (nlim == 0 && ncon == 0) return vector<double>(nv, 0.0);
 
-  // contact normal rows: Jp[k] = (cdof_lin[k] + cdof_ang[k] x pos) * mask
+  // contact point jacobians: Jp[k] = (cdof_lin[k] + cdof_ang[k] x pos)*mask
   // with mask = body_dof[body2] - body_dof[body1]
   vector<vector<Vec3>> jp(ncon, vector<Vec3>(nv));
-  for (int c = 0; c < ncon; c++) {
+  for (int c = 0; c < ncon; c++)
     for (int k = 0; k < nv; k++) {
       double mask = bd[meta[c].body2 * nv + k] - bd[meta[c].body1 * nv + k];
       Vec3 v = s.k.cdof[k].l + s.k.cdof[k].a.cross(cons[c].pos);
       jp[c][k] = v * mask;
     }
+
+  // frictionless contacts (condim < 3): a single normal row each.
+  // MuJoCo constraint position: dist - includemargin (spring + impedance).
+  for (int c = 0; c < ncon; c++) {
+    if (meta[c].condim >= 3) continue;
     Row row;
     row.J.assign(nv, 0.0);
     for (int k = 0; k < nv; k++) row.J[k] = jp[c][k].dot(cons[c].normal);
     row.r = cons[c].dist - meta[c].margin;
+    row.act = row.r < 0.0;
     row.solref[0] = meta[c].solref[0];
     row.solref[1] = meta[c].solref[1];
     for (int q = 0; q < 3; q++) row.solimp[q] = meta[c].solimp[q];
-    row.kind = 0;
-    row.mu = 0.0;
-    row.nidx = nlim + c;
+    row.dA = body_iw[meta[c].body1] + body_iw[meta[c].body2];
     rows.push_back(std::move(row));
   }
 
-  // friction rows (condim >= 3): all t1 rows, then all t2 rows — matching
-  // engine.py's `for t in (t1, t2)` append order
-  vector<int> fric;
-  for (int c = 0; c < ncon; c++)
-    if (meta[c].condim >= 3) fric.push_back(c);
-  for (int ti = 0; ti < 2; ti++) {
-    for (int c : fric) {
-      Vec3 n = cons[c].normal;
-      Vec3 ref = std::fabs(n.x) < 0.5 ? Vec3{1, 0, 0} : Vec3{0, 1, 0};
-      Vec3 t1 = n.cross(ref);
-      t1 = t1 * (1.0 / t1.norm());
-      Vec3 t = ti == 0 ? t1 : n.cross(t1);
-      Row row;
-      row.J.assign(nv, 0.0);
-      for (int k = 0; k < nv; k++) row.J[k] = jp[c][k].dot(t);
-      row.r = 0.0;
-      row.solref[0] = meta[c].solref[0];
-      row.solref[1] = meta[c].solref[1];
-      for (int q = 0; q < 3; q++) row.solimp[q] = meta[c].solimp[q];
-      row.kind = 1;
-      row.mu = meta[c].mu;
-      row.nidx = nlim + c;
-      rows.push_back(std::move(row));
-    }
+  // pyramidal facets (condim >= 3): 4 rows per contact, grouped per
+  // contact in order (+t1, -t1, +t2, -t2) — engine.py facet order
+  for (int c = 0; c < ncon; c++) {
+    if (meta[c].condim < 3) continue;
+    Vec3 n = cons[c].normal;
+    Vec3 ref = std::fabs(n.x) < 0.5 ? Vec3{1, 0, 0} : Vec3{0, 1, 0};
+    Vec3 t1 = n.cross(ref);
+    t1 = t1 * (1.0 / t1.norm());
+    // align t1 with the collider's tangent hint when one exists
+    // (engine.py: capsule long axis projected into the contact plane)
+    Vec3 h = cons[c].hint;
+    Vec3 hp = h - n * h.dot(n);
+    double hn = hp.norm();
+    if (hn > 1e-6) t1 = hp * (1.0 / hn);
+    Vec3 t2 = n.cross(t1);
+    double mu = meta[c].mu;
+    double w12 = body_iw[meta[c].body1] + body_iw[meta[c].body2];
+    double dA = 2.0 * mu * mu * (1.0 + mu * mu) * w12;
+    const Vec3 tans[2] = {t1, t2};
+    for (int ti = 0; ti < 2; ti++)
+      for (int sgn = 0; sgn < 2; sgn++) {
+        double sg = sgn == 0 ? 1.0 : -1.0;
+        Row row;
+        row.J.assign(nv, 0.0);
+        for (int k = 0; k < nv; k++)
+          row.J[k] = jp[c][k].dot(cons[c].normal) +
+                     sg * mu * jp[c][k].dot(tans[ti]);
+        row.r = cons[c].dist - meta[c].margin;
+        row.act = row.r < 0.0;
+        row.solref[0] = meta[c].solref[0];
+        row.solref[1] = meta[c].solref[1];
+        for (int q = 0; q < 3; q++) row.solimp[q] = meta[c].solimp[q];
+        row.dA = dA;
+        rows.push_back(std::move(row));
+      }
   }
   const int nrows = (int)rows.size();
 
-  // active mask: normal/limit rows need r < 0; friction follows its normal
   vector<char> active(nrows);
-  for (int i = 0; i < nrows; i++) {
-    double r_own = rows[i].kind == 1 ? rows[rows[i].nidx].r : rows[i].r;
-    active[i] = r_own < 0.0;
-  }
+  for (int i = 0; i < nrows; i++) active[i] = rows[i].act;
 
-  // drop rows whose J M^-1 J^T diagonal ~ 0 (immovable direction)
   vector<vector<double>> minv_jt(nrows, vector<double>(nv));
-  vector<double> diag0(nrows);
-  double diag0_max = -1e300;
   for (int i = 0; i < nrows; i++) {
+    if (!active[i]) std::fill(rows[i].J.begin(), rows[i].J.end(), 0.0);
     cholM.solve(rows[i].J.data(), minv_jt[i].data());
-    double d = 0;
-    for (int k = 0; k < nv; k++) d += rows[i].J[k] * minv_jt[i][k];
-    diag0[i] = d;
-    diag0_max = std::max(diag0_max, d);
   }
-  for (int i = 0; i < nrows; i++)
-    if (!(diag0[i] > 1e-7 * (1.0 + diag0_max))) active[i] = 0;
-  for (int i = 0; i < nrows; i++)
-    if (!active[i]) {
-      std::fill(rows[i].J.begin(), rows[i].J.end(), 0.0);
-      std::fill(minv_jt[i].begin(), minv_jt[i].end(), 0.0);
-    }
 
   // impedance and virtual-spring reference acceleration
   vector<double> aref(nrows), dimp(nrows);
   for (int i = 0; i < nrows; i++) {
-    double r_imp = rows[i].kind == 1 ? rows[rows[i].nidx].r : rows[i].r;
-    double d = impedance(rows[i].solimp, r_imp);
+    double d = impedance(rows[i].solimp, rows[i].r);
     dimp[i] = d;
     // exact MuJoCo spring constants: b = 2/(dmax*tc), k = d/(dmax^2 tc^2 dr^2)
-    double tc = rows[i].solref[0], dr = rows[i].solref[1];
+    // with tc clamped to >= 2*timestep as MuJoCo does
+    double tc = std::max(rows[i].solref[0], 2.0 * m.timestep);
+    double dr = rows[i].solref[1];
     double dmax = rows[i].solimp[1];
     double b = 2.0 / std::max(dmax * tc, 1e-8);
     double k = d / std::max(dmax * dmax * tc * tc * dr * dr, 1e-10);
     double vel = 0;
     for (int q = 0; q < nv; q++) vel += rows[i].J[q] * qvel[q];
-    double r_term = rows[i].kind == 1 ? 0.0 : rows[i].r;
-    aref[i] = (-b * vel - k * r_term) * (active[i] ? 1.0 : 0.0);
+    aref[i] = (-b * vel - k * rows[i].r) * (active[i] ? 1.0 : 0.0);
   }
 
   // A = J M^-1 J^T + diag(R)
@@ -1065,11 +1076,12 @@ vector<double> constraint_forces(const Model& m, const Mutable& mm,
     }
   vector<double> a_ii_inv(nrows);
   for (int i = 0; i < nrows; i++) {
-    double diag_a = std::max(A[i * nrows + i], 1e-10);
-    double R = std::max((1.0 - dimp[i]) / dimp[i] * diag_a, 1e-8);
+    // regularizer from impedance and the compile-time diagApprox weight
+    double R = std::max(
+        (1.0 - dimp[i]) / std::max(dimp[i], 1e-10) * rows[i].dA, 1e-12);
     if (!active[i]) R = 1.0;
     A[i * nrows + i] += R;
-    a_ii_inv[i] = 1.0 / std::max(A[i * nrows + i], 1e-10);
+    a_ii_inv[i] = 1.0 / std::max(A[i * nrows + i], 1e-12);
   }
 
   vector<double> qacc_smooth(nv);
@@ -1081,34 +1093,26 @@ vector<double> constraint_forces(const Model& m, const Mutable& mm,
     b_vec[i] = (v - aref[i]) * (active[i] ? 1.0 : 0.0);
   }
 
-  // projection: normal rows f >= 0; friction rows clipped to the cone.
-  // jnp.clip(lo > hi) resolves to hi (min(max(x,lo),hi)) — replicate exactly.
-  auto project = [&](vector<double>& f) {
-    vector<double> fn(nrows);
-    for (int i = 0; i < nrows; i++) fn[i] = f[rows[i].nidx];
-    for (int i = 0; i < nrows; i++) {
-      if (rows[i].kind == 1) {
-        double lim = rows[i].mu * fn[i];
-        f[i] = std::min(std::max(f[i], -lim), lim);
-      } else {
-        f[i] = std::max(f[i], 0.0);
-      }
-    }
-  };
-
+  // projection: every row is a non-negative pyramid facet force
   vector<double> f(nrows, 0.0);
   if (m.solver == 0) {
-    // projected Jacobi with under-relaxation (engine.py 'jacobi' branch)
-    const double omega = 0.5;
+    // projected Jacobi with adaptive under-relaxation (engine.py 'jacobi'
+    // branch): omega = 1/rho, rho = row-sum bound on spectral radius
+    double rho = 0.0;
+    for (int i = 0; i < nrows; i++) {
+      double rs = 0.0;
+      for (int j = 0; j < nrows; j++) rs += std::fabs(A[i * nrows + j]);
+      rho = std::max(rho, rs * a_ii_inv[i]);
+    }
+    const double omega = std::min(1.0, 1.8 / std::max(rho, 1e-10));
     vector<double> tmp(nrows);
     for (int it = 0; it < 2 * m.iterations; it++) {
       for (int i = 0; i < nrows; i++) {
         double af = 0;
         for (int j = 0; j < nrows; j++) af += A[i * nrows + j] * f[j];
-        tmp[i] = f[i] - omega * (af + b_vec[i]) * a_ii_inv[i];
+        tmp[i] = std::max(f[i] - omega * (af + b_vec[i]) * a_ii_inv[i], 0.0);
       }
       f = tmp;
-      project(f);
     }
   } else {
     // projected Gauss-Seidel: in-place row updates, fixed order
@@ -1116,14 +1120,7 @@ vector<double> constraint_forces(const Model& m, const Mutable& mm,
       for (int i = 0; i < nrows; i++) {
         double af = 0;
         for (int j = 0; j < nrows; j++) af += A[i * nrows + j] * f[j];
-        double fi = f[i] - (af + b_vec[i]) * a_ii_inv[i];
-        if (rows[i].kind == 1) {
-          double lim = rows[i].mu * f[rows[i].nidx];
-          fi = std::min(std::max(fi, -lim), lim);
-        } else {
-          fi = std::max(fi, 0.0);
-        }
-        f[i] = fi;
+        f[i] = std::max(f[i] - (af + b_vec[i]) * a_ii_inv[i], 0.0);
       }
     }
   }

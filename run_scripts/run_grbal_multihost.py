@@ -65,6 +65,10 @@ def run_experiment(config):
         rolling_average_persitency=config['rolling_average_persitency'],
         hidden_nonlinearity=config['hidden_nonlinearity_model'],
         batch_size=config['adapt_batch_size'])
+    # train the meta-learner itself sharded: path-major batches over the
+    # mesh 'env' axis, grads psum'd by GSPMD (models/meta_mlp.py +
+    # parallel/mesh.py::jit_epoch_sharded)
+    dynamics_model.mesh = mesh
     policy = MPCController(
         name='policy', env=env, dynamics_model=dynamics_model,
         discount=config['discount'], n_candidates=config['n_candidates'],

@@ -153,3 +153,78 @@ class TestSharding:
         expect = params['w'] - 0.1 * g['w']
         np.testing.assert_allclose(np.asarray(params2['w']),
                                    np.asarray(expect), rtol=1e-5)
+
+
+class TestShardedFit:
+    """The REAL model fit loops trained data-parallel over the mesh 'env'
+    axis must match single-device training (same seed, same batches; GSPMD
+    only changes reduction order). BASELINE config #5's sharded learner."""
+
+    def _env(self):
+        from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize
+        return normalize(HalfCheetahEnv(task=None))
+
+    def _paths(self, env, n_paths=8, t_len=24, seed=0):
+        rng = np.random.RandomState(seed)
+        obs = rng.randn(n_paths, t_len, env.obs_dim).astype(np.float32)
+        act = rng.uniform(-1, 1, (n_paths, t_len, env.act_dim)).astype(
+            np.float32)
+        nxt = obs + 0.05 * rng.randn(*obs.shape).astype(np.float32)
+        return obs, act, nxt
+
+    def _mesh(self):
+        import pytest
+        if len(jax.devices()) < 8:
+            pytest.skip('needs 8 virtual devices')
+        from learning_to_adapt_tpu.parallel.mesh import make_mesh
+        return make_mesh(n_env=8, n_model=1)
+
+    def _assert_same(self, m_plain, m_shard):
+        flat_p = jax.tree.leaves(m_plain.params)
+        flat_s = jax.tree.leaves(m_shard.params)
+        for a, b in zip(flat_p, flat_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_mlp_fit_sharded_matches(self):
+        from learning_to_adapt_tpu.models import MLPDynamicsModel
+        mesh = self._mesh()
+        env = self._env()
+        obs, act, nxt = self._paths(env)
+        flat = lambda x: x.reshape(-1, x.shape[-1])
+        m1 = MLPDynamicsModel('d', env, hidden_sizes=(16,), batch_size=16,
+                              seed=7)
+        m2 = MLPDynamicsModel('d', env, hidden_sizes=(16,), batch_size=16,
+                              seed=7)
+        m2.mesh = mesh
+        m1.fit(flat(obs), flat(act), flat(nxt), epochs=3)
+        m2.fit(flat(obs), flat(act), flat(nxt), epochs=3)
+        self._assert_same(m1, m2)
+
+    def test_meta_mlp_fit_sharded_matches(self):
+        from learning_to_adapt_tpu.models import MetaMLPDynamicsModel
+        mesh = self._mesh()
+        env = self._env()
+        obs, act, nxt = self._paths(env)
+        kw = dict(hidden_sizes=(16,), meta_batch_size=4, batch_size=8,
+                  seed=7)
+        m1 = MetaMLPDynamicsModel('d', env, **kw)
+        m2 = MetaMLPDynamicsModel('d', env, **kw)
+        m2.mesh = mesh
+        m1.fit(obs, act, nxt, epochs=3)
+        m2.fit(obs, act, nxt, epochs=3)
+        self._assert_same(m1, m2)
+
+    def test_rnn_fit_sharded_matches(self):
+        from learning_to_adapt_tpu.models import RNNDynamicsModel
+        mesh = self._mesh()
+        env = self._env()
+        obs, act, nxt = self._paths(env)
+        kw = dict(hidden_sizes=(16,), backprop_steps=8, batch_size=4,
+                  seed=7)
+        m1 = RNNDynamicsModel('d', env, **kw)
+        m2 = RNNDynamicsModel('d', env, **kw)
+        m2.mesh = mesh
+        m1.fit(obs, act, nxt, epochs=3)
+        m2.fit(obs, act, nxt, epochs=3)
+        self._assert_same(m1, m2)

@@ -1,0 +1,238 @@
+"""Cross-validation of the physics engine against open-source MuJoCo.
+
+The round-1 oracle (native/ltao_physics.cc) is op-for-op the same algorithm
+as engine.py, so it catches drift but not shared divergence from MuJoCo
+semantics. These tests ground the engine in the real thing: they load the
+ORIGINAL reference XMLs (/root/reference/learning_to_adapt/envs/assets/*.xml,
+the exact files the reference trains on via mujoco_py mjcore.py:35) with the
+`mujoco` package and compare trajectories step for step in float64.
+
+Measured agreement driving the tolerances below (100-step rollouts, random
+ctrl, converged solver): half_cheetah 1.2e-5, ant 1.2e-11, arm_7dof 4e-12,
+half_cheetah_blocks 2.8e-3.
+
+Known deltas vs modern MuJoCo (documented in docs/PARITY.md):
+- solver: we run projected Jacobi/PGS on the same convex problem MuJoCo's
+  Newton solves; converged results agree, production settings are looser.
+- box-box: 4-point SAT face manifold vs MuJoCo's mjc_BoxBox - same face
+  normals, slightly different manifold points (blocks env ~1e-3/step).
+- capsule-box: 2 endpoint-sphere contacts vs MuJoCo's exact capsule-box.
+- MuJoCo 1.31 (the reference's pinned version) cannot be installed here;
+  modern MuJoCo is the closest executable ground truth.
+"""
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip('mujoco')
+
+from learning_to_adapt_tpu.envs import model_defs
+from learning_to_adapt_tpu.physics import engine
+from learning_to_adapt_tpu.physics.engine import PhysicsState
+from learning_to_adapt_tpu.physics.spec import (
+    BodySpec, GeomSpec, HFieldSpec, JointSpec, ModelSpec, OptionSpec,
+    compile_spec, default_mutable, FREE, HFIELD, CAPSULE, PLANE)
+
+ASSETS = '/root/reference/learning_to_adapt/envs/assets'
+
+
+@pytest.fixture(autouse=True)
+def _x64_mode():
+    old = jax.config.jax_enable_x64
+    jax.config.update('jax_enable_x64', True)
+    yield
+    jax.config.update('jax_enable_x64', old)
+
+
+def _mj_model(name):
+    return mujoco.MjModel.from_xml_path(os.path.join(ASSETS, f'{name}.xml'))
+
+
+def _init_state(model, seed):
+    rng = np.random.RandomState(seed)
+    qpos = np.array(model.qpos0 if model.init_qpos is None
+                    else model.init_qpos, np.float64)
+    qpos = qpos + rng.uniform(-0.01, 0.01, model.nq)
+    for ji in range(model.njnt):
+        if model.jnt_type[ji] == FREE:
+            a = model.jnt_qposadr[ji] + 3
+            qpos[a:a + 4] /= np.linalg.norm(qpos[a:a + 4])
+    qvel = rng.uniform(-0.1, 0.1, model.nv)
+    return qpos, qvel, rng
+
+
+def _compare_traj(name, n_steps, tol, amp=0.3, converged=True, seed=0):
+    model = compile_spec(getattr(model_defs, f'{name}_spec')())
+    if converged:
+        model = dataclasses.replace(model, iterations=100, solver='pgs')
+    mm = jax.tree.map(jnp.asarray, default_mutable(model, np.float64))
+    mj = _mj_model(name)
+    d = mujoco.MjData(mj)
+
+    qpos, qvel, rng = _init_state(model, seed)
+    ctrls = rng.uniform(-amp, amp, (n_steps, max(model.nu, 1)))[:, :model.nu]
+
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    mq = []
+    for t in range(n_steps):
+        d.ctrl[:] = ctrls[t]
+        mujoco.mj_step(mj, d)
+        mq.append(d.qpos.copy())
+
+    stepf = jax.jit(lambda s, c: engine.step(model, mm, s, c))
+    s = PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+    eq = []
+    for t in range(n_steps):
+        s = stepf(s, jnp.asarray(ctrls[t]))
+        eq.append(np.asarray(s.qpos))
+
+    err = np.abs(np.stack(eq) - np.stack(mq)).max()
+    assert err < tol, f'{name}: max |qpos| divergence {err:.3e} >= {tol}'
+    return err
+
+
+class TestModelConstants:
+    """Compile-time model quantities vs MuJoCo's own compiler."""
+
+    @pytest.mark.parametrize('name', ['half_cheetah', 'ant', 'arm_7dof',
+                                      'half_cheetah_blocks',
+                                      'half_cheetah_hfield'])
+    def test_constants(self, name):
+        model = compile_spec(getattr(model_defs, f'{name}_spec')())
+        mj = _mj_model(name)
+        assert (model.nq, model.nv, model.nu) == (mj.nq, mj.nv, mj.nu)
+        np.testing.assert_allclose(model.qpos0, mj.qpos0, atol=1e-12)
+        # inertiafromgeom mass pipeline (incl. settotalmass rescale)
+        np.testing.assert_allclose(model.body_mass0, mj.body_mass,
+                                   atol=1e-9)
+        # mj_setConst invweights drive the constraint regularizer R
+        np.testing.assert_allclose(model.dof_invweight0, mj.dof_invweight0,
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(model.body_invweight0,
+                                   mj.body_invweight0[:, 0],
+                                   rtol=1e-9, atol=1e-12)
+
+
+class TestContactFree:
+    """Tight parity where no contact force is in play."""
+
+    def test_cheetah_airborne_exact(self):
+        """Smooth dynamics (FK/CRBA/RNE/actuation/implicit-damping Euler)
+        match to machine precision while the cheetah is in flight."""
+        model = compile_spec(model_defs.half_cheetah_spec())
+        mm = jax.tree.map(jnp.asarray, default_mutable(model, np.float64))
+        mj = _mj_model('half_cheetah')
+        d = mujoco.MjData(mj)
+        qpos, qvel, rng = _init_state(model, 0)
+        qpos[1] += 1.0  # rootz: lift well above the floor
+        ctrls = rng.uniform(-0.5, 0.5, (10, model.nu))
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        stepf = jax.jit(lambda s, c: engine.step(model, mm, s, c))
+        s = PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+        for t in range(10):
+            d.ctrl[:] = ctrls[t]
+            mujoco.mj_step(mj, d)
+            s = stepf(s, jnp.asarray(ctrls[t]))
+            np.testing.assert_allclose(np.asarray(s.qpos), d.qpos,
+                                       atol=1e-14)
+
+    def test_arm_trajectory(self):
+        """Zero-g arm with active joint limits: the limit constraint model
+        (impedance power curve, tc >= 2*dt clamp, dof_invweight0 R)."""
+        _compare_traj('arm_7dof', 50, 1e-9)
+
+
+class TestContactTrajectories:
+    """Converged-solver trajectory parity with contacts and friction."""
+
+    def test_half_cheetah(self):
+        """Capsule-plane contacts, pyramidal friction, settotalmass."""
+        _compare_traj('half_cheetah', 50, 1e-4)
+
+    def test_ant_rk4(self):
+        """RK4 + free joint + margin-mixed contacts + capsule-axis contact
+        frames: the hardest case, and it matches to ~1e-11."""
+        _compare_traj('ant', 50, 1e-8)
+
+    def test_blocks(self):
+        """Box-box (SAT manifold) and capsule-box contacts."""
+        _compare_traj('half_cheetah_blocks', 50, 1e-2)
+
+    def test_ant_production_solver(self):
+        """The jacobi solver the TPU path actually runs (adaptive omega),
+        vs MuJoCo's Newton: statistical-level agreement."""
+        _compare_traj('ant', 50, 2e-3, converged=False)
+
+
+class TestHField:
+    """Capsule-on-heightfield vs MuJoCo on an identical terrain profile.
+
+    A dedicated mini-model is used so both sides share the exact grid: the
+    x-profile (constant along y, as the hfield env's terrains are,
+    reference half_cheetah_hfield_env.py:76-166) is written into
+    mj.hfield_data and MutableModel.hfield_row.
+    """
+
+    def test_capsule_settles_on_slope(self):
+        # smooth profile: at sharp kinks MuJoCo's prism triangulation and
+        # our 1-D linear surface give different local normals (flat/ramp
+        # agree to 1e-4; random-kink terrain to ~1e-2)
+        ncol, sx, sz = 41, 4.0, 0.5
+        profile = 0.5 + 0.4 * np.sin(np.linspace(0, 2 * np.pi, ncol))
+
+        xml = f"""
+<mujoco>
+  <option timestep='0.01'/>
+  <asset>
+    <hfield name='terrain' nrow='2' ncol='{ncol}'
+            size='{sx} {sx} {sz} 0.1'/>
+  </asset>
+  <worldbody>
+    <geom type='hfield' hfield='terrain' pos='0 0 0'/>
+    <body pos='0 0 1.2'>
+      <freejoint/>
+      <geom type='capsule' fromto='-0.25 0 0 0.25 0 0' size='0.08'
+            mass='1'/>
+    </body>
+  </worldbody>
+</mujoco>"""
+        mj = mujoco.MjModel.from_xml_string(xml)
+        mj.hfield_data[:] = np.tile(profile, 2)
+        d = mujoco.MjData(mj)
+
+        spec = ModelSpec(
+            name='hfield_mini',
+            option=OptionSpec(timestep=0.01, iterations=100, solver='pgs'),
+            world_geoms=[GeomSpec(type=HFIELD, name='terrain',
+                                  hfield='terrain')],
+            bodies=[BodySpec(
+                name='cap', pos=(0., 0., 1.2),
+                joints=[JointSpec(type=FREE, name='root')],
+                geoms=[GeomSpec(type=CAPSULE,
+                                fromto=(-0.25, 0., 0., 0.25, 0., 0.),
+                                size=(0.08,), mass=1.0)])],
+            hfields=[HFieldSpec(name='terrain', nrow=2, ncol=ncol,
+                                size=(sx, sx, sz, 0.1))])
+        model = compile_spec(spec)
+        mm = default_mutable(model, np.float64)
+        mm = dataclasses.replace(mm, hfield_row=profile.astype(np.float64))
+        mm = jax.tree.map(jnp.asarray, mm)
+
+        mujoco.mj_forward(mj, d)
+        stepf = jax.jit(lambda s: engine.step(model, mm, s,
+                                              jnp.zeros((0,), jnp.float64)))
+        s = PhysicsState(qpos=jnp.asarray(mj.qpos0, jnp.float64),
+                         qvel=jnp.zeros(6, jnp.float64))
+        for _ in range(120):
+            mujoco.mj_step(mj, d)
+            s = stepf(s)
+        # settles on the same terrain at the same place/height; grids are
+        # identical but triangulation details differ -> statistical bound
+        np.testing.assert_allclose(np.asarray(s.qpos[:3]), d.qpos[:3],
+                                   atol=5e-3)

@@ -103,3 +103,57 @@ class TestRecurrentPlanners:
             self._predict_h, _reward_sum, obs, hidden, key, n_candidates=64,
             horizon=2, act_dim=2, num_cem_iters=4)
         assert float(actions.mean()) > 0.5
+
+
+class TestCEMReferenceParity:
+    def test_matches_reference_transcription_m1(self):
+        """cem(clip_rollout=False) vs a direct numpy transcription of the
+        reference get_cem_action (mpc_controller.py:71-106) consuming the
+        SAME gaussian draws, at m=1 where the reference layout is
+        well-defined (its m>1 path scrambles env/candidate pairing —
+        planners.py docstring). One reference quirk is NOT reproduced:
+        its elite mask `(-returns).argsort() < k` marks the sorted
+        POSITIONS of candidates 0..k-1 (an argsort-vs-rank bug selecting
+        essentially arbitrary candidates, mpc_controller.py:101); the
+        transcription below uses the evident intent (true top-k), which
+        is what cem() implements. Documented in docs/PARITY.md."""
+        import numpy as np
+        n, h, A, iters, alpha = 32, 3, 2, 4, 0.1
+        k_e = max(int(n * 0.1), 1)
+        obs = jnp.asarray([[0.3, -0.2]])
+        key = jax.random.PRNGKey(11)
+
+        a_mine, _ = planners.cem(
+            _predict_integrator, _reward_sum, obs, key, n_candidates=n,
+            horizon=h, act_dim=A, num_cem_iters=iters, percent_elites=0.1,
+            alpha=alpha, clip_rollout=False)
+
+        def predict_np(o, a):
+            return o + a
+
+        def reward_np(o, a, nxt):
+            return np.sum(nxt - o, axis=-1)
+
+        keys = jax.random.split(key, iters)
+        mean = np.zeros((1, h * A))
+        std = np.ones((1, h * A))
+        for it in range(iters):
+            z = np.asarray(jax.random.normal(keys[it], (n, 1, h * A)))
+            a = mean + z * std
+            a_st = np.clip(a, -1.0, 1.0)
+            a_r = a.reshape(n, h, A).transpose(1, 0, 2)   # unclipped rollout
+            returns = np.zeros(n)
+            o = np.repeat(np.asarray(obs), n, axis=0)
+            for t in range(h):
+                if t == 0:
+                    cand_a = a_r[0].reshape(1, n, A)
+                nxt = predict_np(o, a_r[t])
+                returns += reward_np(o, a_r[t], nxt)
+                o = nxt
+            returns = returns.reshape(1, n)
+            elite_rows = np.argsort(-returns[0])[:k_e]
+            elites = a_st.reshape(n, h * A)[elite_rows]
+            mean = mean * alpha + (1 - alpha) * np.mean(elites, axis=0)
+            std = np.std(elites, axis=0)
+        a_ref = cand_a[np.arange(1), np.argmax(returns, axis=1)]
+        np.testing.assert_allclose(np.asarray(a_mine), a_ref, atol=1e-5)
