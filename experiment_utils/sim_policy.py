@@ -36,12 +36,17 @@ def load_experiment(exp_dir):
     with open(os.path.join(exp_dir, 'params.pkl'), 'rb') as f:
         snapshot = pickle.load(f)
 
-    env_name = config['env']
-    if isinstance(env_name, dict):
-        env_name = env_name.get('$class', '').split('.')[-1]
-    env_cls = ENV_CLASSES[env_name.split('.')[-1]]
-    env = normalize(env_cls(reset_every_episode=True,
-                            task=config.get('task')))
+    if 'env' in snapshot:
+        # newer snapshots carry the env object itself (Serializable
+        # ctor-replay pickling — exact task/noise/frame_skip config)
+        env = snapshot['env']
+    else:
+        env_name = config['env']
+        if isinstance(env_name, dict):
+            env_name = env_name.get('$class', '').split('.')[-1]
+        env_cls = ENV_CLASSES[env_name.split('.')[-1]]
+        env = normalize(env_cls(reset_every_episode=True,
+                                task=config.get('task')))
 
     if 'meta_batch_size' in config:
         model = MetaMLPDynamicsModel(

@@ -26,6 +26,8 @@ class AntEnv(TPUEnv):
     name = 'ant'
 
     def __init__(self, task='cripple', reset_every_episode=False, **kw):
+        from learning_to_adapt_tpu.utils.serializable import Serializable
+        Serializable.quick_init(self, locals())
         super().__init__(task=task, reset_every_episode=reset_every_episode,
                          **kw)
         assert self.task in (None, 'cripple')

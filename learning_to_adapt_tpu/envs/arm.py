@@ -20,6 +20,8 @@ class Arm7DofEnv(TPUEnv):
 
     def __init__(self, task='force', reset_every_episode=False,
                  fixed_goal=False, **kw):
+        from learning_to_adapt_tpu.utils.serializable import Serializable
+        Serializable.quick_init(self, locals())
         super().__init__(task=task, reset_every_episode=reset_every_episode,
                          **kw)
         assert self.task in (None, 'cripple', 'damping', 'mass', 'force')

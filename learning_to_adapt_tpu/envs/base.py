@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from learning_to_adapt_tpu.physics import engine
+from learning_to_adapt_tpu.utils.serializable import Serializable
 from learning_to_adapt_tpu.physics.spec import (
     MutableModel, PhysicsModel, default_mutable)
 
@@ -41,19 +42,32 @@ class EnvState:
     rng: Any          # per-env PRNG key (action noise & future stochasticity)
 
 
-class TPUEnv:
+class TPUEnv(Serializable):
     """Base env: subclasses define model, observation, reward and task
-    sampling. Instances are static config only — safe to close over in jit."""
+    sampling. Instances are static config only — safe to close over in jit.
+    Serializable: pickling replays the constructor (the reference's rllab
+    protocol, how env objects ride in params.pkl snapshots and replay
+    tooling; utils/serializable.py)."""
 
     name: str = 'env'
     task_default: str = None
 
     def __init__(self, task=None, reset_every_episode=False, frame_skip=None,
-                 action_noise=0.0, dtype=jnp.float32):
+                 action_noise=0.0, dtype=jnp.float32,
+                 instability_recovery=True):
+        if not getattr(self, '_serializable_initialized', False):
+            # fallback capture for subclasses that do not quick_init
+            Serializable.quick_init(self, locals())
         task = None if task == 'None' else task
         self.task = task
         self.reset_every_episode = reset_every_episode
         self.action_noise = action_noise
+        # documented deviation from MuJoCo (which warns and carries on when
+        # the sim diverges): replace blown-up states with the pre-step pose
+        # + zero velocity. Off => raw engine output (the physics-parity
+        # mode; docs/PARITY.md "instability recovery" note,
+        # tests/test_envs.py::TestInstabilityRecovery)
+        self.instability_recovery = instability_recovery
         self.dtype = dtype
         self.model: PhysicsModel = self._build_model()
         self.mm0: MutableModel = jax.tree.map(
@@ -150,13 +164,14 @@ class TPUEnv:
         # motion. Keeping such outliers out of rollouts is what protects the
         # meta-training loss from divergence (deltas of 1e3+ blow up the
         # second-order MAML objective).
-        bad = jnp.logical_or(
-            jnp.logical_not(jnp.all(jnp.isfinite(phys.qpos)) &
-                            jnp.all(jnp.isfinite(phys.qvel))),
-            jnp.max(jnp.abs(phys.qvel)) > 150.0)
-        phys = engine.PhysicsState(
-            qpos=jnp.where(bad, state.phys.qpos, phys.qpos),
-            qvel=jnp.where(bad, jnp.zeros_like(phys.qvel), phys.qvel))
+        if self.instability_recovery:
+            bad = jnp.logical_or(
+                jnp.logical_not(jnp.all(jnp.isfinite(phys.qpos)) &
+                                jnp.all(jnp.isfinite(phys.qvel))),
+                jnp.max(jnp.abs(phys.qvel)) > 150.0)
+            phys = engine.PhysicsState(
+                qpos=jnp.where(bad, state.phys.qpos, phys.qpos),
+                qvel=jnp.where(bad, jnp.zeros_like(phys.qvel), phys.qvel))
         data = engine.forward(self.model, state.mm, phys)
         obs = self.observe(data, phys)
         reward = self.step_reward(data, action)
@@ -212,7 +227,7 @@ class TPUEnv:
         return EnvSpec(self.observation_space, self.action_space)
 
 
-class NormalizedEnv:
+class NormalizedEnv(Serializable):
     """Action-normalizing wrapper: planner/policy space is [-1,1]^act_dim,
     rescaled and clipped to the env bounds (reference
     envs/normalized_env.py:126-134).
@@ -228,6 +243,7 @@ class NormalizedEnv:
     def __init__(self, env: TPUEnv, scale_reward=1.0,
                  normalize_obs=False, normalize_reward=False,
                  obs_alpha=0.001, reward_alpha=0.001):
+        Serializable.quick_init(self, locals())
         self.wrapped_env = env
         self._scale_reward = 1  # reference quirk: argument ignored
         self._normalize_obs = normalize_obs
@@ -265,6 +281,11 @@ class NormalizedEnv:
         return obs, reward
 
     def __getattr__(self, name):
+        # never delegate private/dunder lookups: protocol probes (pickle,
+        # copy, Serializable.quick_init before wrapped_env exists) must get
+        # AttributeError, not recurse through the delegation chain
+        if name.startswith('_') or name == 'wrapped_env':
+            raise AttributeError(name)
         return getattr(self.wrapped_env, name)
 
     @property

@@ -24,6 +24,8 @@ class HalfCheetahEnv(TPUEnv):
     name = 'half_cheetah'
 
     def __init__(self, task='cripple', reset_every_episode=False, **kw):
+        from learning_to_adapt_tpu.utils.serializable import Serializable
+        Serializable.quick_init(self, locals())
         super().__init__(task=task, reset_every_episode=reset_every_episode,
                          **kw)
         assert self.task in (None, 'cripple')

@@ -687,23 +687,39 @@ def _with_invweights(model: PhysicsModel) -> PhysicsModel:
     tests/test_mujoco_crosscheck.py)."""
     from . import engine  # deferred: engine imports this module
 
-    mm = jax.tree.map(jnp.asarray, default_mutable(model, np.float64))
-    qpos = jnp.asarray(model.qpos0)
-    st = engine.PhysicsState(qpos=qpos,
-                             qvel=jnp.zeros(model.nv, qpos.dtype))
-    ctrl = jnp.zeros((model.nu,), qpos.dtype)
-    mass_mat, _, aux = engine.smooth_dynamics(model, mm, st, ctrl)
-    minv = jnp.linalg.inv(mass_mat)
-    dof_inv = np.asarray(jnp.diag(minv), np.float64).copy()
-    body_inv, body_inv_rot = [0.0], [0.0]
-    for b in range(1, model.nbody):
-        jc = engine._point_jacobian(model, aux['cdof'], b, aux['xipos'][b])
-        a_mat = jc.T @ (minv @ jc)                       # (3,3)
-        body_inv.append(float(jnp.trace(a_mat)) / 3.0)
-        mask = jnp.asarray(model.body_dof[b], jc.dtype)
-        jr = aux['cdof'][:, :3] * mask[:, None]          # (nv,3) angular
-        a_rot = jr.T @ (minv @ jr)
-        body_inv_rot.append(float(jnp.trace(a_rot)) / 3.0)
+    key = (model.name, model.nq, model.nv, model.nu, model.nbody,
+           model.ngeom, float(model.timestep), model.qpos0.tobytes(),
+           model.body_mass0.tobytes(), model.dof_armature.tobytes(),
+           model.body_inertia.tobytes())
+    cached = _INVWEIGHT_CACHE.get(key)
+    if cached is not None:
+        return dataclasses.replace(model, dof_invweight0=cached[0],
+                                   body_invweight0=cached[1])
+
+    def compute():
+        mm = jax.tree.map(jnp.asarray, default_mutable(model, np.float64))
+        qpos = jnp.asarray(model.qpos0)
+        st = engine.PhysicsState(qpos=qpos,
+                                 qvel=jnp.zeros(model.nv, qpos.dtype))
+        ctrl = jnp.zeros((model.nu,), qpos.dtype)
+        mass_mat, _, aux = engine.smooth_dynamics(model, mm, st, ctrl)
+        minv = jnp.linalg.inv(mass_mat)
+        dof_inv = jnp.diag(minv)
+        b_inv, b_rot = [jnp.zeros(())], [jnp.zeros(())]
+        for b in range(1, model.nbody):
+            jc = engine._point_jacobian(model, aux['cdof'], b,
+                                        aux['xipos'][b])
+            b_inv.append(jnp.trace(jc.T @ (minv @ jc)) / 3.0)
+            mask = jnp.asarray(model.body_dof[b], jc.dtype)
+            jr = aux['cdof'][:, :3] * mask[:, None]      # (nv,3) angular
+            b_rot.append(jnp.trace(jr.T @ (minv @ jr)) / 3.0)
+        return dof_inv, jnp.stack(b_inv), jnp.stack(b_rot)
+
+    # one jitted program (eager would dispatch hundreds of tiny ops)
+    dof_inv_j, body_inv_j, body_rot_j = jax.jit(compute)()
+    dof_inv = np.asarray(dof_inv_j, np.float64).copy()
+    body_inv = list(np.asarray(body_inv_j, np.float64))
+    body_inv_rot = list(np.asarray(body_rot_j, np.float64))
     # free-joint dofs take the body weights (isotropic), not diag(M0^-1) —
     # matches mj.dof_invweight0 for the Ant free root
     for ji in range(model.njnt):
@@ -726,6 +742,10 @@ def _with_invweights(model: PhysicsModel) -> PhysicsModel:
             body_inv[b] = w
             for ji in jis:
                 dof_inv[int(model.jnt_dofadr[ji])] = w
+    body_inv = np.asarray(body_inv, np.float64)
+    _INVWEIGHT_CACHE[key] = (dof_inv, body_inv)
     return dataclasses.replace(
-        model, dof_invweight0=dof_inv,
-        body_invweight0=np.asarray(body_inv, np.float64))
+        model, dof_invweight0=dof_inv, body_invweight0=body_inv)
+
+
+_INVWEIGHT_CACHE = {}

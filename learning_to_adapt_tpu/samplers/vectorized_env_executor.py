@@ -69,7 +69,17 @@ class IterativeEnvExecutor:
             self._states, jnp.asarray(actions), keys, next_episode)
         dones_np = np.asarray(dones)
         self._episode = np.where(dones_np, self._episode + 1, self._episode)
-        return (np.asarray(obs), np.asarray(rewards), dones_np,
+        obs_np, rew_np = np.asarray(obs), np.asarray(rewards)
+        # host-path running obs/reward normalization (NormalizedEnv
+        # normalize_obs/normalize_reward; reference normalized_env.py:90-106)
+        # — a no-op unless those flags are on, like the reference default
+        maybe_norm = getattr(self.env, 'maybe_normalize', None)
+        if maybe_norm is not None:
+            outs = [maybe_norm(obs_np[i], rew_np[i])
+                    for i in range(self._num_envs)]
+            obs_np = np.asarray([o for o, _ in outs])
+            rew_np = np.asarray([r for _, r in outs])
+        return (obs_np, rew_np, dones_np,
                 [{} for _ in range(self._num_envs)])
 
     def set_tasks(self, tasks=None):

@@ -76,6 +76,11 @@ class Trainer:
         logger.log('Training finished')
 
     def get_itr_snapshot(self, itr):
+        # env rides along as a Serializable (ctor-replay pickling, the
+        # reference's snapshot protocol: mb_trainer.py:106-108 pickles
+        # {itr, policy, env, dynamics_model}); model/optimizer state as
+        # explicit pytree state dicts
         return dict(itr=itr,
+                    env=self.env,
                     dynamics_model=self.dynamics_model.state_dict(),
                     config=self.config)

@@ -228,3 +228,35 @@ class TestShardedFit:
         m1.fit(obs, act, nxt, epochs=3)
         m2.fit(obs, act, nxt, epochs=3)
         self._assert_same(m1, m2)
+
+
+class TestGAEProcessor:
+    def test_returns_and_gae_match_scipy(self):
+        from scipy.signal import lfilter
+        from learning_to_adapt_tpu.samplers.gae_processor import (
+            SampleProcessor)
+        rng = np.random.RandomState(0)
+        gamma, lam = 0.95, 0.8
+        paths = [dict(observations=rng.randn(12, 4).astype(np.float32),
+                      actions=rng.randn(12, 2).astype(np.float32),
+                      rewards=rng.randn(12).astype(np.float32))
+                 for _ in range(3)]
+        proc = SampleProcessor(discount=gamma, gae_lambda=lam,
+                               normalize_adv=False)
+        out = proc.process_samples([dict(p) for p in paths])
+        # ground truth with scipy lfilter (the reference's discount_cumsum,
+        # utils/tensor_utils.py:217-221)
+        def cumsum(x, d):
+            return lfilter([1], [1, -d], x[::-1])[::-1]
+        ret0 = cumsum(paths[0]['rewards'], gamma)
+        got0 = out['returns'][:12] if out['returns'].ndim == 1 else None
+        np.testing.assert_allclose(got0, ret0, rtol=1e-5)
+        # GAE identity: with the fitted baseline b, adv = cumsum(deltas)
+        # where deltas_t = r_t + gamma*b_{t+1} - b_t
+        b0 = proc.baseline.predict(
+            dict(observations=paths[0]['observations'],
+                 returns=ret0))
+        deltas = paths[0]['rewards'] + gamma * np.append(b0[1:], 0) - b0
+        adv0 = cumsum(deltas, gamma * lam)
+        np.testing.assert_allclose(out['advantages'][:12], adv0, rtol=1e-4,
+                                   atol=1e-5)
