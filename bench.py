@@ -1,28 +1,40 @@
-"""Benchmark: batched MPC env-steps/s on one chip.
+"""Benchmark: batched MPC env-steps/s on one chip, plus canonical-config
+workloads, MFU, and a *measured* reference-architecture CPU baseline.
 
-Measures the fused rollout engine — on-device MPC planning (random shooting
-over the learned dynamics model) + batched physics stepping — the same loop
-the reference runs through host sess.run calls and worker-process pipes
-(SURVEY.md section 3.3, the #1 throughput constraint).
+Workloads
+  saturated   256 envs x 128 candidates x horizon 10, (512,512) model —
+              the throughput-bound regime (headline, tracked across rounds).
+  grbal       canonical GrBAL HalfCheetah sampling: 5 envs x 500 candidates
+              x horizon 10, (512,512,512) meta model with per-step
+              adaptation — the latency-bound regime the actual experiments
+              run (reference run_scripts/run_grbal.py:74-107).
+  mb_mpc      canonical MB-MPC: 10 envs x 2000 candidates x horizon 20,
+              (512,512) (reference run_scripts/run_mb_mpc.py:71-103).
 
-Baseline: the reference (TF1 CPU, 5 env workers, per-step host planning)
-sustains on the order of ~50 env-steps/s in the canonical GrBAL HalfCheetah
-config (5 envs x 10 sess.runs of 2500 rows per env step + MuJoCo stepping;
-no number is published in-repo — BASELINE.md — so this is the measured-class
-estimate that vs_baseline is computed against until the reference can be run
-under the same harness).
+Baseline: a faithful re-creation of the reference architecture measured on
+THIS host's CPU — per-env-step host planning (horizon sequential numpy
+batch forwards standing in for sess.run, reference mpc_controller.py:108-129)
+plus the f64 C++ physics oracle standing in for libmujoco131
+(mujoco_env.py:160-167). The reference itself (TF 1.13 + mjpro131) cannot
+be installed in this image; this baseline is architecture-faithful and
+hardware-generous (modern many-core CPU + OpenBLAS vs 2019 TF1).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+MFU counts planner model-forward matmul FLOPs (the MXU work) against the
+chip's peak bf16 FLOP/s.
+
+Prints aux metric JSON lines to stderr and ONE JSON line to stdout:
+{"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: the fused rollout program compiles once per
+# persistent compilation cache: the fused rollout programs compile once per
 # machine; subsequent bench runs (the driver's) start in seconds
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           '.jax_cache')
@@ -30,39 +42,42 @@ os.makedirs(_CACHE_DIR, exist_ok=True)
 jax.config.update('jax_compilation_cache_dir', _CACHE_DIR)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-REFERENCE_STEPS_PER_SEC = 50.0
+# peak bf16 FLOP/s per chip by device kind (public spec sheets)
+_PEAK_BF16 = {
+    'TPU v4': 275e12,
+    'TPU v5 lite': 197e12,   # v5e
+    'TPU v5e': 197e12,
+    'TPU v5': 459e12,        # v5p
+    'TPU v5p': 459e12,
+    'TPU v6 lite': 918e12,   # v6e (Trillium)
+    'TPU v6e': 918e12,
+}
 
-NUM_ENVS = 256
-PATH_LEN = 64
-N_CANDIDATES = 128
-HORIZON = 10
+
+def _peak_flops():
+    kind = jax.devices()[0].device_kind
+    for k in sorted(_PEAK_BF16, key=len, reverse=True):
+        if kind.startswith(k):
+            return _PEAK_BF16[k], kind
+    return None, kind
 
 
-def main():
-    from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize
-    from learning_to_adapt_tpu.models import MLPDynamicsModel
-    from learning_to_adapt_tpu.policies import MPCController
-    from learning_to_adapt_tpu.samplers.rollout import make_rollout_fn
+def _mlp_flops_per_row(sizes):
+    return 2 * sum(sizes[i] * sizes[i + 1] for i in range(len(sizes) - 1))
 
-    env = normalize(HalfCheetahEnv(task='cripple', reset_every_episode=True))
-    model = MLPDynamicsModel('dyn', env, hidden_sizes=(512, 512),
-                             batch_size=128)
-    policy = MPCController('policy', env, model, n_candidates=N_CANDIDATES,
-                           horizon=HORIZON)
-    rollout = make_rollout_fn(env, policy, model, NUM_ENVS, PATH_LEN)
 
-    key = jax.random.PRNGKey(0)
+def _aux(name, value, unit):
+    print(json.dumps({'metric': name, 'value': value, 'unit': unit}),
+          file=sys.stderr)
+
+
+def _time_rollout(rollout, model, n_timed, key):
     # warmup/compile (2 calls: the first pays compilation, the second any
     # post-compile autotuning/transfer settling)
     for i in range(2):
         paths = rollout(model.params, model.normalizer,
                         jax.random.fold_in(key, 100 + i), np.int32(1))
         jax.block_until_ready(paths)
-
-    # steady-state throughput: per-call timing, best-of-N (dispatch rides a
-    # network tunnel on some hosts; occasional multi-ms hiccups are host
-    # noise, not device throughput)
-    n_timed = 8
     times = []
     for i in range(n_timed):
         t0 = time.perf_counter()
@@ -70,14 +85,188 @@ def main():
                         jax.random.fold_in(key, i), np.int32(1))
         jax.block_until_ready(paths)
         times.append(time.perf_counter() - t0)
+    return min(times)
 
-    steps = NUM_ENVS * PATH_LEN
-    sps = steps / min(times)
+
+def bench_saturated():
+    from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize
+    from learning_to_adapt_tpu.models import MLPDynamicsModel
+    from learning_to_adapt_tpu.policies import MPCController
+    from learning_to_adapt_tpu.samplers.rollout import make_rollout_fn
+
+    num_envs, path_len, n_cand, horizon = 256, 64, 128, 10
+    env = normalize(HalfCheetahEnv(task='cripple', reset_every_episode=True))
+    model = MLPDynamicsModel('dyn', env, hidden_sizes=(512, 512),
+                             batch_size=128)
+    policy = MPCController('policy', env, model, n_candidates=n_cand,
+                           horizon=horizon)
+    rollout = make_rollout_fn(env, policy, model, num_envs, path_len)
+    t = _time_rollout(rollout, model, 8, jax.random.PRNGKey(0))
+    steps = num_envs * path_len
+    sps = steps / t
+    # planner model-forward FLOPs per env step (f32->bf16 MXU matmuls)
+    sizes = (26,) + (512, 512) + (20,)
+    flops_per_step = horizon * n_cand * _mlp_flops_per_row(sizes)
+    peak, kind = _peak_flops()
+    _aux('saturated env-steps/s/chip', round(sps, 1), 'env-steps/s')
+    if peak:
+        mfu = sps * flops_per_step / peak
+        _aux(f'saturated planner MFU ({kind})', round(mfu * 100, 1), '%')
+    return sps
+
+
+def bench_grbal_canonical():
+    from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize
+    from learning_to_adapt_tpu.models import MetaMLPDynamicsModel
+    from learning_to_adapt_tpu.policies import MPCController
+    from learning_to_adapt_tpu.samplers.rollout import make_rollout_fn
+
+    num_envs, path_len, n_cand, horizon = 5, 1000, 500, 10
+    env = normalize(HalfCheetahEnv(task='cripple', reset_every_episode=True))
+    model = MetaMLPDynamicsModel('dyn', env, meta_batch_size=10,
+                                 hidden_sizes=(512, 512, 512),
+                                 batch_size=16)
+    policy = MPCController('policy', env, model, n_candidates=n_cand,
+                           horizon=horizon)
+    rollout = make_rollout_fn(env, policy, model, num_envs, path_len,
+                              adapt_batch_size=16)
+    t = _time_rollout(rollout, model, 4, jax.random.PRNGKey(1))
+    steps = num_envs * path_len
+    sps = steps / t
+    sizes = (26,) + (512, 512, 512) + (20,)
+    flops_per_step = horizon * n_cand * _mlp_flops_per_row(sizes)
+    peak, kind = _peak_flops()
+    _aux('canonical GrBAL env-steps/s (5 envs, per-step adaptation)',
+         round(sps, 1), 'env-steps/s')
+    _aux('canonical GrBAL s/1000 env-steps', round(1000.0 / sps, 3), 's')
+    if peak:
+        mfu = sps * flops_per_step / peak
+        _aux(f'canonical GrBAL planner MFU ({kind})',
+             round(mfu * 100, 1), '%')
+    return sps
+
+
+def bench_mb_mpc_canonical():
+    from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize
+    from learning_to_adapt_tpu.models import MLPDynamicsModel
+    from learning_to_adapt_tpu.policies import MPCController
+    from learning_to_adapt_tpu.samplers.rollout import make_rollout_fn
+
+    num_envs, path_len, n_cand, horizon = 10, 100, 2000, 20
+    env = normalize(HalfCheetahEnv(task=None))
+    model = MLPDynamicsModel('dyn', env, hidden_sizes=(512, 512),
+                             batch_size=128)
+    policy = MPCController('policy', env, model, n_candidates=n_cand,
+                           horizon=horizon)
+    rollout = make_rollout_fn(env, policy, model, num_envs, path_len)
+    t = _time_rollout(rollout, model, 4, jax.random.PRNGKey(2))
+    sps = num_envs * path_len / t
+    sizes = (26,) + (512, 512) + (20,)
+    flops_per_step = horizon * n_cand * _mlp_flops_per_row(sizes)
+    peak, kind = _peak_flops()
+    _aux('canonical MB-MPC env-steps/s (10 envs)', round(sps, 1),
+         'env-steps/s')
+    if peak:
+        mfu = sps * flops_per_step / peak
+        _aux(f'canonical MB-MPC planner MFU ({kind})',
+             round(mfu * 100, 1), '%')
+    return sps
+
+
+def bench_cpu_reference_baseline(n_cycles=8):
+    """Reference-architecture host loop, measured on this CPU.
+
+    Per env step (reference sampler.py:73-127 + mpc_controller.py:108-129):
+    horizon sequential batched numpy model forwards over
+    (n_candidates * num_envs) rows (the sess.run boundary), argmax action
+    selection, then per-env C++ oracle physics steps (libmujoco131 stand-in,
+    reference mujoco_env.py:160-167). Canonical GrBAL shapes.
+    """
+    from learning_to_adapt_tpu.envs import HalfCheetahEnv
+    from learning_to_adapt_tpu.native import oracle
+
+    num_envs, n_cand, horizon = 5, 500, 10
+    sizes = (26,) + (512, 512, 512) + (20,)
+    rng = np.random.RandomState(0)
+    ws = [rng.randn(sizes[i], sizes[i + 1]).astype(np.float32) * 0.05
+          for i in range(len(sizes) - 1)]
+    bs_ = [np.zeros(sizes[i + 1], np.float32) for i in range(len(sizes) - 1)]
+
+    env = HalfCheetahEnv(task=None)
+    if not oracle.available():
+        _aux('cpu reference baseline', None, 'oracle unavailable')
+        return None
+    phys = [oracle.NativePhysics(env.model) for _ in range(num_envs)]
+    init_qpos = np.asarray(env.model.qpos0 if env.model.init_qpos is None
+                           else env.model.init_qpos, np.float64)
+    qpos = [init_qpos.copy() for _ in range(num_envs)]
+    qvel = [np.zeros(env.model.nv) for _ in range(num_envs)]
+    act_dim = env.model.nu
+    obs_dim = 20
+    frame_skip = env.frame_skip
+
+    def host_forward(x):
+        h = x
+        for i, (w, b) in enumerate(zip(ws, bs_)):
+            h = h @ w + b
+            if i < len(ws) - 1:
+                h = np.maximum(h, 0.0)
+        return h
+
+    cycle_times = []
+    for _ in range(n_cycles):
+        t0 = time.perf_counter()
+        # --- plan: h sequential host-boundary batch forwards ---
+        obs = rng.randn(num_envs, obs_dim).astype(np.float32)
+        obs_rep = np.repeat(obs, n_cand, axis=0)
+        cand = rng.uniform(-1, 1, (horizon, n_cand * num_envs, act_dim)
+                           ).astype(np.float32)
+        returns = np.zeros(n_cand * num_envs, np.float32)
+        cur = obs_rep
+        for t in range(horizon):
+            delta = host_forward(np.concatenate([cur, cand[t]], axis=1))
+            nxt = cur + delta
+            returns += (nxt[:, -3] - cur[:, -3]) / env.dt \
+                - 0.05 * np.sum(np.square(cand[t]), axis=1)
+            cur = nxt
+        best = returns.reshape(num_envs, n_cand).argmax(axis=1)
+        acts = cand[0].reshape(num_envs, n_cand, act_dim)[
+            np.arange(num_envs), best]
+        # --- step the physics, frame_skip x per env (worker stand-in) ---
+        for e in range(num_envs):
+            for _ in range(frame_skip):
+                qpos[e], qvel[e] = phys[e].step(qpos[e], qvel[e], acts[e])
+        cycle_times.append(time.perf_counter() - t0)
+    # best cycle: the baseline's peak capability, insensitive to whatever
+    # else this host happens to be running during the bench
+    sps = num_envs / min(cycle_times)
+    _aux('cpu reference-architecture baseline (measured this host)',
+         round(sps, 2), 'env-steps/s')
+    return sps
+
+
+def main():
+    baseline = None
+    try:
+        baseline = bench_cpu_reference_baseline()
+    except Exception as e:  # noqa: BLE001 — baseline is auxiliary
+        print(f'cpu baseline failed: {e}', file=sys.stderr)
+    try:
+        bench_grbal_canonical()
+    except Exception as e:  # noqa: BLE001
+        print(f'grbal canonical failed: {e}', file=sys.stderr)
+    try:
+        bench_mb_mpc_canonical()
+    except Exception as e:  # noqa: BLE001
+        print(f'mb_mpc canonical failed: {e}', file=sys.stderr)
+
+    sps = bench_saturated()
+    denom = baseline if baseline else 50.0
     print(json.dumps({
         'metric': 'env-steps/s/chip (batched MPC rollouts)',
         'value': round(sps, 1),
         'unit': 'env-steps/s',
-        'vs_baseline': round(sps / REFERENCE_STEPS_PER_SEC, 2),
+        'vs_baseline': round(sps / denom, 2),
     }))
 
 

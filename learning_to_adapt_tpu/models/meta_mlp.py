@@ -305,7 +305,10 @@ class MetaMLPDynamicsModel:
         from learning_to_adapt_tpu.ops import fused_mlp
         delta = fused_mlp.planner_forward(params, x, self.hidden_nonlinearity,
                                           self.output_nonlinearity,
-                                          self.planner_compute_dtype)
+                                          self.planner_compute_dtype,
+                                          allow_fused=getattr(
+                                              self, 'allow_fused_kernel',
+                                              None))
         return obs + norm.denorm_delta(delta)
 
     def predict_adapted_fn(self, adapted_params, norm, obs, act):

@@ -240,18 +240,18 @@ class MLPDynamicsModel:
             return jax.vmap(lambda p: core.mlp_forward(
                 p, x, self.hidden_nonlinearity, self.output_nonlinearity,
                 compute_dtype))(params)
-        # planner-path batches route through the fused Pallas kernel on TPU
-        # (inter-layer activations stay in VMEM instead of round-tripping
-        # HBM); training (compute_dtype=None), small batches, and
-        # mesh-sharded programs (allow_fused_kernel unset by the sharded
-        # rollout builder) stay on XLA
+        # planner-path batches dispatch via ops/fused_mlp.planner_forward:
+        # plain XLA by default (measured faster than the Pallas kernel —
+        # see FUSED_DEFAULT there), opt back in per model via
+        # `allow_fused_kernel = True`; mesh-sharded rollout builders force
+        # it off (no SPMD rule for tpu_custom_call)
         from learning_to_adapt_tpu.ops import fused_mlp
         return fused_mlp.planner_forward(params, x, self.hidden_nonlinearity,
                                          self.output_nonlinearity,
                                          compute_dtype,
                                          allow_fused=getattr(
                                              self, 'allow_fused_kernel',
-                                             True))
+                                             None))
 
     def predict_fn(self, params, norm, obs, act):
         """Pure jittable prediction: obs' = obs + denorm(f(norm(obs,act))).

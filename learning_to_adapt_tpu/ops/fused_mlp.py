@@ -74,21 +74,38 @@ def supported(params, backend=None):
     return _weights_fit_vmem(params)
 
 
+# Default OFF: honest device-serialized timing (benchmarks/
+# bench_pallas_shapes.py, differenced scan lengths to cancel the ~20 ms
+# host-dispatch RTT of the tunneled backend) measured XLA at 137-144
+# TFLOP/s vs this kernel's 74-88 on the canonical (2500x(512,512,512)) and
+# saturated (32768x(512,512)) planner shapes on TPU v5e — XLA already
+# fuses bias+nonlinearity into the matmul epilogue and pipelines HBM
+# weight streaming better than this kernel's VMEM-resident scheme. Earlier
+# per-call wins were dispatch-latency artifacts. The kernel stays as
+# validated infrastructure (tests/test_ops.py) and can be re-enabled per
+# model via `model.allow_fused_kernel = True` for future re-tuning.
+FUSED_DEFAULT = False
+
+
 def planner_forward(params, x, hidden_nonlinearity='relu',
                     output_nonlinearity=None, compute_dtype=None,
-                    allow_fused=True):
+                    allow_fused=None):
     """Inference-path MLP forward for the planners: dispatches to the fused
-    Pallas kernel when it is profitable (TPU backend, bf16 compute, identity
-    output, batch at least one row tile, weights fit VMEM), otherwise falls
-    back to the plain XLA forward. The decision is made at trace time, so
-    the same model code compiles to either path with zero runtime branching.
+    Pallas kernel when allowed and shape-eligible (TPU backend, bf16
+    compute, identity output, batch at least one row tile, weights fit
+    VMEM), otherwise the plain XLA forward. The decision is made at trace
+    time, so the same model code compiles to either path with zero runtime
+    branching.
 
-    allow_fused: pass False inside GSPMD-sharded programs — tpu_custom_call
-    has no SPMD partitioning rule, so a pallas_call inside a mesh-sharded
-    rollout would force the env-sharded batch to be replicated/all-gathered
-    (or fail to partition). make_rollout_fn sets this off when it builds a
+    allow_fused: None → FUSED_DEFAULT (currently False; see above). Must
+    be False inside GSPMD-sharded programs — tpu_custom_call has no SPMD
+    partitioning rule, so a pallas_call inside a mesh-sharded rollout
+    would force the env-sharded batch to be replicated/all-gathered (or
+    fail to partition). make_rollout_fn sets this off when it builds a
     sharded program (samplers/rollout.py).
     """
+    if allow_fused is None:
+        allow_fused = FUSED_DEFAULT
     from learning_to_adapt_tpu.models import core
     if (allow_fused
             and compute_dtype == jnp.bfloat16

@@ -715,8 +715,16 @@ def _with_invweights(model: PhysicsModel) -> PhysicsModel:
             b_rot.append(jnp.trace(jr.T @ (minv @ jr)) / 3.0)
         return dof_inv, jnp.stack(b_inv), jnp.stack(b_rot)
 
-    # one jitted program (eager would dispatch hundreds of tiny ops)
-    dof_inv_j, body_inv_j, body_rot_j = jax.jit(compute)()
+    # one jitted program (eager would dispatch hundreds of tiny ops);
+    # forced x64: these are compile-time constants validated to rtol 1e-9
+    # vs mj_setConst (tests/test_mujoco_crosscheck.py) — without the guard
+    # their precision would depend on whichever global x64 state happened
+    # to be live at first model compile, and the cache would pin it
+    # pinned to CPU: TPU has no f64 LU decomposition, and this runs once
+    # at model compile, not on the training path
+    with jax.enable_x64(True), \
+            jax.default_device(jax.local_devices(backend='cpu')[0]):
+        dof_inv_j, body_inv_j, body_rot_j = jax.jit(compute)()
     dof_inv = np.asarray(dof_inv_j, np.float64).copy()
     body_inv = list(np.asarray(body_inv_j, np.float64))
     body_inv_rot = list(np.asarray(body_rot_j, np.float64))

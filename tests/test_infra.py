@@ -3,6 +3,7 @@ vectorized executor auto-reset, spaces, sharded rollout + DP grad step on
 the 8-device CPU mesh."""
 import os
 import pickle
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -260,3 +261,48 @@ class TestGAEProcessor:
         adv0 = cumsum(deltas, gamma * lam)
         np.testing.assert_allclose(out['advantages'][:12], adv0, rtol=1e-4,
                                    atol=1e-5)
+
+
+class TestViskitDashboard:
+    """Reference-parity features of the results dashboard (reference
+    viskit/frontend.py:51-156, 606-757): percentile/std bands, split-by,
+    group-by, and per-param value filters."""
+
+    @pytest.fixture()
+    def data_root(self, tmp_path):
+        import csv as _csv
+        import json as _json
+        for d, env, lr, off in [('a1', 'HalfCheetahEnv', 1e-3, 0.0),
+                                ('a2', 'HalfCheetahEnv', 1e-3, 10.0),
+                                ('b1', 'AntEnv', 1e-2, 30.0)]:
+            p = tmp_path / d
+            p.mkdir()
+            _json.dump({'env': env, 'learning_rate': lr},
+                       open(p / 'params.json', 'w'))
+            with open(p / 'progress.csv', 'w', newline='') as f:
+                w = _csv.writer(f)
+                w.writerow(['Itr', 'EnvTrajs-AverageReturn'])
+                for i in range(10):
+                    w.writerow([i, off + i])
+        return str(tmp_path)
+
+    def test_split_group_filter_bands(self, data_root):
+        from tools.viskit_server import build_page
+        # split by env -> one plot per env value; group by lr
+        page = build_page(data_root, {
+            'y': ['EnvTrajs-AverageReturn'], 'x': ['Itr'],
+            'band': ['median-quartiles'], 'split': ['env'],
+            'group': ['learning_rate']})
+        assert page.count('<svg') == 2
+        assert 'n=2' in page  # the two HalfCheetah runs aggregate
+        # filter down to AntEnv only
+        page = build_page(data_root, {
+            'y': ['EnvTrajs-AverageReturn'], 'x': ['Itr'],
+            'band': ['mean-std'], 'f_env': ['AntEnv']})
+        assert '1/3 runs' in page
+
+    def test_all_band_modes_render(self, data_root):
+        from tools.viskit_server import BANDS, build_page
+        for band in BANDS:
+            page = build_page(data_root, {'band': [band]})
+            assert '<svg' in page
