@@ -19,6 +19,12 @@ plus the f64 C++ physics oracle standing in for libmujoco131
 be installed in this image; this baseline is architecture-faithful and
 hardware-generous (modern many-core CPU + OpenBLAS vs 2019 TF1).
 
+The baseline is measured at BOTH workload shapes so every vs_baseline
+ratio divides like-for-like (same n_envs / n_candidates / hidden sizes on
+both sides): `vs_baseline_saturated` for the headline saturated workload
+and `vs_baseline_canonical` for the canonical GrBAL workload. The stdout
+JSON reports which baseline value and source it used.
+
 MFU counts planner model-forward matmul FLOPs (the MXU work) against the
 chip's peak bf16 FLOP/s.
 
@@ -122,7 +128,9 @@ def bench_grbal_canonical():
     from learning_to_adapt_tpu.samplers.rollout import make_rollout_fn
 
     num_envs, path_len, n_cand, horizon = 5, 1000, 500, 10
-    env = normalize(HalfCheetahEnv(task='cripple', reset_every_episode=True))
+    # exactly the reference config: task=None, reset_every_episode=True
+    # (reference run_grbal.py:21,77)
+    env = normalize(HalfCheetahEnv(task=None, reset_every_episode=True))
     model = MetaMLPDynamicsModel('dyn', env, meta_batch_size=10,
                                  hidden_sizes=(512, 512, 512),
                                  batch_size=16)
@@ -173,20 +181,21 @@ def bench_mb_mpc_canonical():
     return sps
 
 
-def bench_cpu_reference_baseline(n_cycles=8):
+def bench_cpu_reference_baseline(label, num_envs=5, n_cand=500, horizon=10,
+                                 hidden=(512, 512, 512), n_cycles=8):
     """Reference-architecture host loop, measured on this CPU.
 
     Per env step (reference sampler.py:73-127 + mpc_controller.py:108-129):
     horizon sequential batched numpy model forwards over
     (n_candidates * num_envs) rows (the sess.run boundary), argmax action
     selection, then per-env C++ oracle physics steps (libmujoco131 stand-in,
-    reference mujoco_env.py:160-167). Canonical GrBAL shapes.
+    reference mujoco_env.py:160-167). Workload shape is parameterized so the
+    baseline can be measured at exactly the shapes the TPU benches run.
     """
     from learning_to_adapt_tpu.envs import HalfCheetahEnv
     from learning_to_adapt_tpu.native import oracle
 
-    num_envs, n_cand, horizon = 5, 500, 10
-    sizes = (26,) + (512, 512, 512) + (20,)
+    sizes = (26,) + tuple(hidden) + (20,)
     rng = np.random.RandomState(0)
     ws = [rng.randn(sizes[i], sizes[i + 1]).astype(np.float32) * 0.05
           for i in range(len(sizes) - 1)]
@@ -194,7 +203,7 @@ def bench_cpu_reference_baseline(n_cycles=8):
 
     env = HalfCheetahEnv(task=None)
     if not oracle.available():
-        _aux('cpu reference baseline', None, 'oracle unavailable')
+        _aux(f'cpu reference baseline ({label})', None, 'oracle unavailable')
         return None
     phys = [oracle.NativePhysics(env.model) for _ in range(num_envs)]
     init_qpos = np.asarray(env.model.qpos0 if env.model.init_qpos is None
@@ -240,19 +249,27 @@ def bench_cpu_reference_baseline(n_cycles=8):
     # best cycle: the baseline's peak capability, insensitive to whatever
     # else this host happens to be running during the bench
     sps = num_envs / min(cycle_times)
-    _aux('cpu reference-architecture baseline (measured this host)',
-         round(sps, 2), 'env-steps/s')
+    _aux(f'cpu reference-architecture baseline, {label} workload '
+         '(measured this host)', round(sps, 2), 'env-steps/s')
     return sps
 
 
 def main():
-    baseline = None
+    # measure the CPU reference-architecture baseline at BOTH workload
+    # shapes so each vs_baseline divides matching numerator/denominator
+    base_canon = base_sat = None
     try:
-        baseline = bench_cpu_reference_baseline()
+        base_canon = bench_cpu_reference_baseline(
+            'canonical GrBAL', num_envs=5, n_cand=500, horizon=10,
+            hidden=(512, 512, 512), n_cycles=8)
+        base_sat = bench_cpu_reference_baseline(
+            'saturated', num_envs=256, n_cand=128, horizon=10,
+            hidden=(512, 512), n_cycles=3)
     except Exception as e:  # noqa: BLE001 — baseline is auxiliary
         print(f'cpu baseline failed: {e}', file=sys.stderr)
+    sps_canon = None
     try:
-        bench_grbal_canonical()
+        sps_canon = bench_grbal_canonical()
     except Exception as e:  # noqa: BLE001
         print(f'grbal canonical failed: {e}', file=sys.stderr)
     try:
@@ -261,12 +278,22 @@ def main():
         print(f'mb_mpc canonical failed: {e}', file=sys.stderr)
 
     sps = bench_saturated()
-    denom = baseline if baseline else 50.0
+    if sps_canon and base_canon:
+        _aux('vs_baseline_canonical (GrBAL shapes, both sides measured)',
+             round(sps_canon / base_canon, 1), 'x')
+    if base_sat:
+        _aux('vs_baseline_saturated (saturated shapes, both sides measured)',
+             round(sps / base_sat, 1), 'x')
+    denom, source = ((base_sat, 'measured: reference architecture on this '
+                      'host CPU, saturated workload shapes')
+                     if base_sat else (50.0, 'estimate (oracle unavailable)'))
     print(json.dumps({
-        'metric': 'env-steps/s/chip (batched MPC rollouts)',
+        'metric': 'env-steps/s/chip (batched MPC rollouts, saturated)',
         'value': round(sps, 1),
         'unit': 'env-steps/s',
         'vs_baseline': round(sps / denom, 2),
+        'baseline': round(denom, 2),
+        'baseline_source': source,
     }))
 
 

@@ -161,8 +161,10 @@ class MetaMLPDynamicsModel:
                 out.append(p)
             return out
 
-        tr_dev = jax.device_put(pad_paths(self._train, cap_tr, p_tr))
-        te_dev = jax.device_put(pad_paths(self._test, cap_te, p_te))
+        from learning_to_adapt_tpu.parallel.mesh import stage_fit_data
+        tr_dev, te_dev = stage_fit_data(
+            self, tuple(pad_paths(self._train, cap_tr, p_tr)),
+            tuple(pad_paths(self._test, cap_te, p_te)))
 
         steps_per_epoch = _bucket_pow2(max(int(
             p_tr * t_len / (self.meta_batch_size * self.batch_size * 2)), 1))

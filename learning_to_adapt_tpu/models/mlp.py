@@ -146,8 +146,10 @@ class MLPDynamicsModel:
         epoch_fn = self._get_epoch_fn(tr_obs.shape[0], te_obs.shape[0],
                                       n_batches)
 
-        tr_dev = jax.device_put((tr_obs, tr_act, tr_delta, tr_w))
-        te_dev = jax.device_put((te_obs, te_act, te_delta, te_w))
+        from learning_to_adapt_tpu.parallel.mesh import stage_fit_data
+        tr_dev, te_dev = stage_fit_data(
+            self, (tr_obs, tr_act, tr_delta, tr_w),
+            (te_obs, te_act, te_delta, te_w))
         key = jax.random.PRNGKey(self._rng.randint(1 << 31))
 
         valid_avg = None

@@ -174,8 +174,9 @@ class RNNDynamicsModel:
 
         tr_arrs, tr_w = pad(self._train, cap_tr, p_tr)
         te_arrs, te_w = pad(self._test, cap_te, p_te)
-        tr_dev = jax.device_put(tuple(tr_arrs) + (tr_w,))
-        te_dev = jax.device_put(tuple(te_arrs) + (te_w,))
+        from learning_to_adapt_tpu.parallel.mesh import stage_fit_data
+        tr_dev, te_dev = stage_fit_data(
+            self, tuple(tr_arrs) + (tr_w,), tuple(te_arrs) + (te_w,))
 
         n_batches = _bucket_pow2(max(p_tr // self.batch_size, 1))
         epoch_fn = self._get_epoch_fn(cap_tr, cap_te, t_len, n_batches)

@@ -11,6 +11,7 @@ The shared library is compiled on demand with g++ (cached next to the
 source); no prebuilt binaries are committed.
 """
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -38,12 +39,22 @@ def _source_path():
 
 
 def _build(src):
+    # staleness by content hash, not mtime: a fresh clone gives every file
+    # the same checkout time, which an mtime check can't distinguish
     out = os.path.join(os.path.dirname(src), 'libltao_physics.so')
-    if (not os.path.exists(out) or
-            os.path.getmtime(out) < os.path.getmtime(src)):
+    stamp = out + '.sha256'
+    with open(src, 'rb') as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    current = None
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            current = f.read().strip()
+    if not os.path.exists(out) or current != digest:
         subprocess.run(
             ['g++', '-O2', '-shared', '-fPIC', '-std=c++17', '-o', out, src],
             check=True, capture_output=True)
+        with open(stamp, 'w') as f:
+            f.write(digest)
     return out
 
 

@@ -35,6 +35,44 @@ def make_mesh(n_env: Optional[int] = None, n_model: int = 1,
     return Mesh(devs, ('env', 'model'))
 
 
+def stage(mesh: Mesh, tree, spec=P()):
+    """device_put a pytree onto the mesh with the given PartitionSpec.
+
+    Works across processes: jax.device_put with a sharding that spans
+    non-addressable devices materializes only the local shards from the
+    (assumed identical) host-local value on each process — this is how
+    host-side numpy (fit datasets, params, PRNG keys) enters a
+    multi-controller program."""
+    sh = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def gather(tree):
+    """Bring a (possibly cross-process sharded) pytree fully to host numpy.
+    Single-process: plain device_get. Multi-controller: process_allgather
+    so every host sees the complete value (the reference's pipe gather,
+    vectorized_env_executor.py:116-146, without the pickling)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+    return jax.tree.map(
+        lambda x: multihost_utils.process_allgather(x, tiled=True), tree)
+
+
+def stage_fit_data(model, train, test):
+    """Stage a model's fit datasets on device. With `model.mesh` set, data
+    rows/paths shard over the 'env' axis and params/opt-state/normalizer
+    replicate up front — explicit shardings are what let the same fit loop
+    run multi-controller (committed single-device arrays cannot be
+    resharded across processes by jit)."""
+    mesh = getattr(model, 'mesh', None)
+    if mesh is None:
+        return jax.device_put(train), jax.device_put(test)
+    model.params, model.opt_state, model.normalizer = stage(
+        mesh, (model.params, model.opt_state, model.normalizer))
+    return stage(mesh, train, P('env')), stage(mesh, test, P('env'))
+
+
 def shard_batch(mesh: Mesh, tree, axis_name='env'):
     """Put a pytree on device with its leading axis sharded over
     `axis_name` (replicated over the other mesh axes)."""
@@ -67,7 +105,7 @@ def data_parallel_grad_step(mesh: Mesh, loss_fn, optimizer):
     gradient of `loss_fn(params, *local_batch)` on its shard of the batch,
     gradients are pmean'd over the 'env' axis (ICI collective), and the
     optimizer update is applied identically everywhere."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def step(params, opt_state, *batch):
         def local(params, opt_state, *local_batch):
@@ -82,7 +120,7 @@ def data_parallel_grad_step(mesh: Mesh, loss_fn, optimizer):
             local, mesh=mesh,
             in_specs=(P(), P()) + tuple(P('env') for _ in batch),
             out_specs=(P(), P(), P()),
-            check_rep=False)
+            check_vma=False)
         return sharded(params, opt_state, *batch)
 
     return jax.jit(step)

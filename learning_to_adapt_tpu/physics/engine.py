@@ -274,6 +274,18 @@ def _tangent_frame(n):
     return t1, t2
 
 
+def _actuator_force(model: PhysicsModel, ctrl, dtype):
+    """Generalized actuator force: motor gear torque with ctrl clamped to
+    ctrlrange, scattered onto the actuated dofs (mj qfrc_actuator)."""
+    qfrc = jnp.zeros(model.nv, dtype)
+    if model.nu:
+        lo = jnp.asarray(model.act_ctrlrange[:, 0], dtype)
+        hi = jnp.asarray(model.act_ctrlrange[:, 1], dtype)
+        torque = jnp.clip(ctrl, lo, hi) * jnp.asarray(model.act_gear, dtype)
+        qfrc = qfrc.at[model.act_dofadr].add(torque)
+    return qfrc
+
+
 def smooth_dynamics(model: PhysicsModel, mm: MutableModel, state: PhysicsState,
                     ctrl):
     """Everything except constraints: returns (M, qfrc_smooth, aux dict)."""
@@ -325,12 +337,7 @@ def smooth_dynamics(model: PhysicsModel, mm: MutableModel, state: PhysicsState,
                 -k * (qpos[qadr] - model.jnt_springref[ji]))
 
     # actuation: motor gear torque with ctrl clamped to ctrlrange
-    qfrc_actuator = jnp.zeros(model.nv, dtype)
-    if model.nu:
-        lo = jnp.asarray(model.act_ctrlrange[:, 0], dtype)
-        hi = jnp.asarray(model.act_ctrlrange[:, 1], dtype)
-        torque = jnp.clip(ctrl, lo, hi) * jnp.asarray(model.act_gear, dtype)
-        qfrc_actuator = qfrc_actuator.at[model.act_dofadr].add(torque)
+    qfrc_actuator = _actuator_force(model, ctrl, dtype)
 
     # external wrenches (xfrc_applied: (force, torque) at body COM — the Arm
     # 'force' task surface, reference arm_7dof_env.py:124-130)
@@ -590,9 +597,10 @@ def step(model: PhysicsModel, mm: MutableModel, state: PhysicsState,
 
 
 def forward(model: PhysicsModel, mm: MutableModel,
-            state: PhysicsState) -> ForwardData:
+            state: PhysicsState, ctrl=None) -> ForwardData:
     """Position/velocity-stage forward pass (the `mj_forward` subset envs
-    consume for observations and rewards)."""
+    consume for observations and rewards). `ctrl` fills qfrc_actuator the
+    way mj_forward fills it from d->ctrl; omitted ctrl means zero force."""
     dtype = state.qpos.dtype
     xpos, xquat, cdof = _fk(model, mm, state.qpos)
     ximat = maths.quat_to_mat(xquat)
@@ -609,6 +617,8 @@ def forward(model: PhysicsModel, mm: MutableModel,
     vcom = maths.point_velocity(body_vel, xipos)
     subtree_comvel = (body_anc @ (mass[:, None] * vcom)) / safe_mass[:, None]
 
+    qfrc_act = (jnp.zeros(model.nv, dtype) if ctrl is None
+                else _actuator_force(model, ctrl, dtype))
     return ForwardData(xpos=xpos, xquat=xquat, ximat=ximat,
                        subtree_com=subtree_com, subtree_comvel=subtree_comvel,
-                       qfrc_actuator=jnp.zeros(model.nv, dtype))
+                       qfrc_actuator=qfrc_act)

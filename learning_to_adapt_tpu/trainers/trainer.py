@@ -13,7 +13,8 @@ from learning_to_adapt_tpu.utils import logging as logger
 class Trainer:
     def __init__(self, env, sampler, sample_processor, policy, dynamics_model,
                  n_itr, start_itr=0, initial_random_samples=True,
-                 dynamics_model_max_epochs=200, config=None):
+                 dynamics_model_max_epochs=200, config=None,
+                 profile_dir=None):
         self.env = env
         self.sampler = sampler
         self.sample_processor = sample_processor
@@ -24,6 +25,10 @@ class Trainer:
         self.initial_random_samples = initial_random_samples
         self.dynamics_model_max_epochs = dynamics_model_max_epochs
         self.config = config
+        # jax.profiler trace target (--profile): captures device timelines
+        # for one sampling pass and one model fit — the device-level layer
+        # of the reference's Time-* wall-clock metrics (utils/profiling.py)
+        self.profile_dir = profile_dir
 
     def train(self):
         t_start = time.time()
@@ -38,8 +43,19 @@ class Trainer:
             else:
                 logger.log('Obtaining samples from the environment using '
                            'the policy...')
-            paths = self.sampler.obtain_samples(log=True, log_prefix='EnvSampler-',
-                                                random=random)
+            # trace the second iteration: past the compile transient, so the
+            # trace shows steady-state device work
+            do_trace = (self.profile_dir is not None
+                        and itr == self.start_itr + 1)
+            if do_trace:
+                from learning_to_adapt_tpu.utils.profiling import device_trace
+                import os
+                with device_trace(os.path.join(self.profile_dir, 'sampling')):
+                    paths = self.sampler.obtain_samples(
+                        log=True, log_prefix='EnvSampler-', random=random)
+            else:
+                paths = self.sampler.obtain_samples(
+                    log=True, log_prefix='EnvSampler-', random=random)
             logger.logkv('Time-EnvSampling', time.time() - t)
 
             logger.log('Processing environment samples...')
@@ -54,12 +70,19 @@ class Trainer:
             t = time.time()
             logger.log('Training dynamics model for '
                        f'{self.dynamics_model_max_epochs} epochs...')
-            self.dynamics_model.fit(samples['observations'],
-                                    samples['actions'],
-                                    samples['next_observations'],
-                                    epochs=self.dynamics_model_max_epochs,
-                                    verbose=True, log_tabular=True,
-                                    logger=logger)
+            def _fit():
+                self.dynamics_model.fit(
+                    samples['observations'], samples['actions'],
+                    samples['next_observations'],
+                    epochs=self.dynamics_model_max_epochs,
+                    verbose=True, log_tabular=True, logger=logger)
+            if do_trace:
+                from learning_to_adapt_tpu.utils.profiling import device_trace
+                import os
+                with device_trace(os.path.join(self.profile_dir, 'fit')):
+                    _fit()
+            else:
+                _fit()
             logger.logkv('Time-ModelFit', time.time() - t)
 
             logger.logkv('Itr', itr)

@@ -30,12 +30,15 @@ from learning_to_adapt_tpu.samplers import (  # noqa: E402
 from learning_to_adapt_tpu.trainers import Trainer  # noqa: E402
 from learning_to_adapt_tpu.utils import logging as logger  # noqa: E402
 from learning_to_adapt_tpu.utils.config import ClassEncoder  # noqa: E402
+from learning_to_adapt_tpu.utils.jax_cache import (  # noqa: E402
+    enable_persistent_cache)
 from run_grbal import config as base_config  # noqa: E402
 
 EXP_NAME = 'grbal_multihost'
 
 
 def run_experiment(config):
+    enable_persistent_cache()
     if os.environ.get('COORDINATOR_ADDRESS'):
         jax.distributed.initialize()
 

@@ -17,6 +17,8 @@ from learning_to_adapt_tpu.samplers import (  # noqa: E402
 from learning_to_adapt_tpu.trainers import Trainer  # noqa: E402
 from learning_to_adapt_tpu.utils import logging as logger  # noqa: E402
 from learning_to_adapt_tpu.utils.config import ClassEncoder  # noqa: E402
+from learning_to_adapt_tpu.utils.jax_cache import (  # noqa: E402
+    enable_persistent_cache)
 
 EXP_NAME = 'mb_mpc'
 
@@ -26,6 +28,7 @@ ENVS = {c.__name__: c for c in
 
 
 def run_experiment(config):
+    enable_persistent_cache()
     exp_dir = os.path.join(os.getcwd(), 'data', EXP_NAME,
                            config.get('exp_name', ''))
     logger.configure(dir=exp_dir, format_strs=['stdout', 'log', 'csv'],
@@ -86,6 +89,8 @@ def run_experiment(config):
         initial_random_samples=config['initial_random_samples'],
         dynamics_model_max_epochs=config['dynamic_model_epochs'],
         config=config,
+        profile_dir=(os.path.join(exp_dir, 'profile')
+                     if config.get('profile') else None),
     )
     algo.train()
 
@@ -129,6 +134,9 @@ if __name__ == '__main__':
     p.add_argument('--n_itr', type=int, default=None)
     p.add_argument('--exp_name', type=str, default='')
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--profile', action='store_true',
+                   help='capture jax.profiler traces of one sampling '
+                        'iteration and one model fit into <exp>/profile')
     p.add_argument('--env', type=str, default=None,
                    help='env class name, e.g. AntEnv '
                         '(default HalfCheetahEnv)')
@@ -140,6 +148,7 @@ if __name__ == '__main__':
     if args.task:
         config['task'] = args.task
     config['resume'] = args.resume
+    config['profile'] = args.profile
     if args.n_itr:
         config['n_itr'] = args.n_itr
     config['exp_name'] = args.exp_name

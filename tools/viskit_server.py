@@ -52,11 +52,11 @@ def render_svg(exps, y_key, x_key, group_by, band, title):
     import numpy as np
 
     groups = defaultdict(list)
+    varying = None if group_by else varying_params(exps)
     for dirpath, prog, params in exps:
         if group_by:
             label = f'{group_by}={_param_str(params, group_by)}'
         else:
-            varying = varying_params(exps)
             label = ', '.join(f'{k}={_param_str(params, k)}'
                               for k in varying) or 'run'
         groups[label].append(prog)
@@ -150,7 +150,10 @@ def build_page(root, q):
     filtered = exps
     active_filters = {}
     for p in pvals:
-        chosen = q.get(f'f_{p}')
+        # browsers decode the entity-escaped name= attribute back to the raw
+        # param before submitting; non-browser clients may echo the escaped
+        # form literally — accept either key
+        chosen = q.get(f'f_{p}') or q.get(f'f_{html.escape(p)}')
         if chosen:
             active_filters[p] = set(chosen)
             filtered = [e for e in filtered
