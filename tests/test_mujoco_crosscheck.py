@@ -170,6 +170,126 @@ class TestContactTrajectories:
         _compare_traj('ant', 50, 2e-3, converged=False)
 
 
+class TestProductionSolver:
+    """Trajectory parity under the SHIPPING solver settings (adaptive
+    Jacobi at model-default iterations) — the exact configuration the
+    training rollouts run, not the converged-PGS laboratory setting.
+    Bounds are 5-10x over the measured max across seeds 0-2 (measured:
+    cheetah 1.8e-4, blocks 1.9e-4, arm 2.0e-11 over 50 steps)."""
+
+    @pytest.mark.parametrize('seed', [0, 1, 2])
+    def test_half_cheetah(self, seed):
+        _compare_traj('half_cheetah', 50, 1e-3, converged=False, seed=seed)
+
+    @pytest.mark.parametrize('seed', [0, 1, 2])
+    def test_blocks(self, seed):
+        _compare_traj('half_cheetah_blocks', 50, 2e-3, converged=False,
+                      seed=seed)
+
+    @pytest.mark.parametrize('seed', [0, 1, 2])
+    def test_arm(self, seed):
+        _compare_traj('arm_7dof', 50, 1e-9, converged=False, seed=seed)
+
+
+class TestF32Drift:
+    """Bound the TPU-dtype (float32) drift of the shipping engine vs the
+    float64 trajectory of the SAME engine: the validated-f64 configuration
+    and the trained-f32 configuration agree to well under physical noise
+    (measured 50-step max: cheetah 7e-8, ant 1.6e-7, arm 1.8e-4)."""
+
+    @pytest.mark.parametrize('name,tol', [('half_cheetah', 1e-5),
+                                          ('ant', 1e-5),
+                                          ('arm_7dof', 2e-3)])
+    def test_f32_matches_f64(self, name, tol):
+        model = compile_spec(getattr(model_defs, f'{name}_spec')())
+        qpos, qvel, rng = _init_state(model, 0)
+        ctrls = rng.uniform(-0.3, 0.3, (50, max(model.nu, 1)))[:, :model.nu]
+
+        def run(dtype):
+            mm = jax.tree.map(
+                lambda x: jnp.asarray(np.asarray(x, dtype)),
+                default_mutable(model, np.float64))
+            stepf = jax.jit(lambda s, c: engine.step(model, mm, s, c))
+            s = PhysicsState(qpos=jnp.asarray(qpos, dtype),
+                             qvel=jnp.asarray(qvel, dtype))
+            out = []
+            for t in range(50):
+                s = stepf(s, jnp.asarray(ctrls[t], dtype))
+                out.append(np.asarray(s.qpos, np.float64))
+            return np.stack(out)
+
+        t64 = run(jnp.float64)
+        # f32 leg under x64=off — the production numeric environment
+        jax.config.update('jax_enable_x64', False)
+        try:
+            t32 = run(jnp.float32)
+        finally:
+            jax.config.update('jax_enable_x64', True)
+        err = np.abs(t64 - t32).max()
+        assert err < tol, f'{name}: f32 drift {err:.3e} >= {tol}'
+
+
+class TestRealTerrain:
+    """Cheetah on the REAL hfield env terrain vs MuJoCo loading the actual
+    reference half_cheetah_hfield.xml: the env's own task generator writes
+    the identical 500-sample profile into MutableModel.hfield_row and
+    mj.hfield_data (tiled across rows — every reference terrain is constant
+    along y, half_cheetah_hfield_env.py:76-166), and full trajectories are
+    compared under both converged and shipping solver settings.
+
+    Smooth tasks (hill/gentle) track to 1.2e-2/2.7e-2 over 50 steps
+    (measured). The cliff-edge tasks (basin, random 'hfield') diverge at
+    the first rim-contact event — a chaotic branch, not model error; kink
+    normals are covered by TestHField's controlled-grid test."""
+
+    @pytest.mark.parametrize('task,production', [
+        ('hill', False), ('hill', True),
+        ('gentle', False), ('gentle', True)])
+    def test_real_terrain_trajectory(self, task, production):
+        from learning_to_adapt_tpu.envs.half_cheetah import (
+            HalfCheetahHFieldEnv)
+
+        env = HalfCheetahHFieldEnv(task=task)
+        model = env.model
+        if not production:
+            model = dataclasses.replace(model, iterations=100, solver='pgs')
+        mm = jax.tree.map(lambda x: jnp.asarray(np.asarray(x, np.float64)),
+                          default_mutable(model, np.float64))
+        mm, _ = env.sample_task(jax.random.PRNGKey(0), mm, None)
+        row = np.asarray(mm.hfield_row, np.float64)
+        size = np.asarray(mm.hfield_size, np.float64)
+
+        mj = _mj_model('half_cheetah_hfield')
+        nrow, ncol = int(mj.hfield_nrow[0]), int(mj.hfield_ncol[0])
+        assert ncol == row.shape[0]
+        # the reference env mutates hfield_size/hfield_data per task the
+        # same way (half_cheetah_hfield_env.py:76-166)
+        mj.hfield_size[0] = size
+        mj.hfield_data[:] = np.tile(row, nrow)
+        d = mujoco.MjData(mj)
+
+        rng = np.random.RandomState(0)
+        qpos = np.array(model.qpos0, np.float64) + rng.uniform(
+            -0.01, 0.01, model.nq)
+        qvel = rng.uniform(-0.1, 0.1, model.nv)
+        ctrls = rng.uniform(-0.3, 0.3, (50, model.nu))
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        mq = []
+        for t in range(50):
+            d.ctrl[:] = ctrls[t]
+            mujoco.mj_step(mj, d)
+            mq.append(d.qpos.copy())
+        stepf = jax.jit(lambda s, c: engine.step(model, mm, s, c))
+        s = PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+        eq = []
+        for t in range(50):
+            s = stepf(s, jnp.asarray(ctrls[t]))
+            eq.append(np.asarray(s.qpos))
+        err = np.abs(np.stack(eq) - np.stack(mq)).max()
+        assert err < 5e-2, f'{task} prod={production}: {err:.3e}'
+
+
 class TestHField:
     """Capsule-on-heightfield vs MuJoCo on an identical terrain profile.
 

@@ -43,3 +43,39 @@ def test_planner_forward_dispatch_matches_plain():
     ref32 = core.mlp_forward(params, x, 'relu', None, None)
     out32 = fused_mlp.planner_forward(params, x, 'relu', None, None)
     np.testing.assert_array_equal(np.asarray(out32), np.asarray(ref32))
+
+
+def test_pallas_jacobi_matches_xla_interpret():
+    """ops/pallas_jacobi kernel == the engine's XLA fori_loop reference on
+    a padded random PSD contact system (interpret mode; the TPU timing
+    decision lives in benchmarks/bench_pallas_jacobi.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from learning_to_adapt_tpu.ops import pallas_jacobi
+
+    rng = np.random.RandomState(0)
+    n = 76  # the cheetah's constraint-row count
+    m = rng.randn(n, n).astype(np.float32)
+    a = m @ m.T + np.eye(n, dtype=np.float32) * n  # PSD, diagonally heavy
+    b = rng.randn(n).astype(np.float32)
+    aii_inv = (1.0 / np.diag(a)).astype(np.float32)
+    rho = np.max(np.sum(np.abs(a), axis=1) * aii_inv)
+    omega = min(1.0, 1.8 / rho)
+
+    ref = pallas_jacobi.jacobi_solve_xla(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(aii_inv), omega, 60)
+    out = pallas_jacobi.jacobi_solve(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(aii_inv), omega, 60,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    assert (np.asarray(out) >= 0).all()
+
+
+def test_pallas_jacobi_usable_gate():
+    import jax.numpy as jnp
+    from learning_to_adapt_tpu.ops import pallas_jacobi
+    # f64 (the crosscheck configuration) and non-TPU backends keep XLA
+    assert not pallas_jacobi.usable(jnp.float64)
+    assert not pallas_jacobi.usable(jnp.float32, backend='cpu')
+    assert pallas_jacobi.usable(jnp.float32, backend='tpu')
