@@ -605,6 +605,29 @@ def step(model: PhysicsModel, mm: MutableModel, state: PhysicsState,
     raise ValueError(f'integrator {model.integrator}')
 
 
+def energy(model: PhysicsModel, mm: MutableModel, state: PhysicsState):
+    """(potential, kinetic) — mj_energy parity (reference mjcore.py:50-51
+    calls mj_sensor+mj_energy every forward; none of the five reference
+    models defines <sensor> elements, so mj_sensor is a no-op for them and
+    energy is the only observable output of that pair).
+
+    potential = -sum_i m_i g . com_i + 0.5 sum_j k_j (q_j - springref_j)^2
+    kinetic   = 0.5 qvel^T M qvel   (CRBA mass matrix incl. armature)
+    """
+    dtype = state.qpos.dtype
+    mass_mat, _, aux = smooth_dynamics(model, mm, state,
+                                       jnp.zeros(model.nu, dtype))
+    grav = jnp.asarray(model.gravity, dtype)
+    pot = -jnp.sum(mm.body_mass * (aux['xipos'] @ grav))
+    for ji in range(model.njnt):
+        if model.jnt_stiffness[ji] > 0 and model.jnt_type[ji] != FREE:
+            qadr = int(model.jnt_qposadr[ji])
+            dq = state.qpos[qadr] - model.jnt_springref[ji]
+            pot = pot + 0.5 * model.jnt_stiffness[ji] * dq * dq
+    kin = 0.5 * state.qvel @ mass_mat @ state.qvel
+    return pot, kin
+
+
 def forward(model: PhysicsModel, mm: MutableModel,
             state: PhysicsState, ctrl=None) -> ForwardData:
     """Position/velocity-stage forward pass (the `mj_forward` subset envs

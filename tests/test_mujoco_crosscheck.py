@@ -118,6 +118,33 @@ class TestModelConstants:
                                    rtol=1e-9, atol=1e-12)
 
 
+class TestEnergy:
+    """mj_energy parity (the reference calls mj_sensor+mj_energy in every
+    forward, mjcore.py:50-51; no reference model defines sensors, so
+    energy is that pair's only observable)."""
+
+    @pytest.mark.parametrize('name', ['half_cheetah', 'ant',
+                                      'half_cheetah_blocks'])
+    def test_energy_matches_mujoco(self, name):
+        model = compile_spec(getattr(model_defs, f'{name}_spec')())
+        mm = jax.tree.map(jnp.asarray, default_mutable(model, np.float64))
+        mj = _mj_model(name)
+        mj.opt.enableflags |= mujoco.mjtEnableBit.mjENBL_ENERGY
+        d = mujoco.MjData(mj)
+        for seed in range(3):
+            qpos, qvel, _ = _init_state(model, seed)
+            d.qpos[:] = qpos
+            d.qvel[:] = qvel
+            mujoco.mj_forward(mj, d)
+            pot, kin = engine.energy(
+                model, mm, PhysicsState(qpos=jnp.asarray(qpos),
+                                        qvel=jnp.asarray(qvel)))
+            np.testing.assert_allclose(float(pot), d.energy[0], rtol=1e-9,
+                                       atol=1e-9)
+            np.testing.assert_allclose(float(kin), d.energy[1], rtol=1e-9,
+                                       atol=1e-9)
+
+
 class TestContactFree:
     """Tight parity where no contact force is in play."""
 
