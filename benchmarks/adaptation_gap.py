@@ -42,7 +42,8 @@ def main():
     gap = res['adapted'].mean() - res['pre-update'].mean()
     rel = gap / max(abs(res['pre-update'].mean()), 1e-9) * 100
     print(f'adaptation gap: +{gap:.1f} return ({rel:+.0f}% vs pre-update)')
-    out = os.path.join('results', 'adaptation_gap_r3.json')
+    tag = os.path.basename(os.path.normpath(exp_dir))
+    out = os.path.join('results', f'adaptation_gap_{tag}.json')
     with open(out, 'w') as f:
         json.dump({k: dict(mean=float(v.mean()), std=float(v.std()),
                            n=int(v.size)) for k, v in res.items()}

@@ -304,13 +304,9 @@ class MetaMLPDynamicsModel:
         Planner-path matmuls run in bf16 (f32 accumulate); the adaptation
         inner step and meta-training stay f32."""
         x = jnp.concatenate([norm.norm_obs(obs), norm.norm_act(act)], axis=-1)
-        from learning_to_adapt_tpu.ops import fused_mlp
-        delta = fused_mlp.planner_forward(params, x, self.hidden_nonlinearity,
-                                          self.output_nonlinearity,
-                                          self.planner_compute_dtype,
-                                          allow_fused=getattr(
-                                              self, 'allow_fused_kernel',
-                                              None))
+        delta = core.mlp_forward(params, x, self.hidden_nonlinearity,
+                                 self.output_nonlinearity,
+                                 self.planner_compute_dtype)
         return obs + norm.denorm_delta(delta)
 
     def predict_adapted_fn(self, adapted_params, norm, obs, act):

@@ -242,18 +242,12 @@ class MLPDynamicsModel:
             return jax.vmap(lambda p: core.mlp_forward(
                 p, x, self.hidden_nonlinearity, self.output_nonlinearity,
                 compute_dtype))(params)
-        # planner-path batches dispatch via ops/fused_mlp.planner_forward:
-        # plain XLA by default (measured faster than the Pallas kernel —
-        # see FUSED_DEFAULT there), opt back in per model via
-        # `allow_fused_kernel = True`; mesh-sharded rollout builders force
-        # it off (no SPMD rule for tpu_custom_call)
-        from learning_to_adapt_tpu.ops import fused_mlp
-        return fused_mlp.planner_forward(params, x, self.hidden_nonlinearity,
-                                         self.output_nonlinearity,
-                                         compute_dtype,
-                                         allow_fused=getattr(
-                                             self, 'allow_fused_kernel',
-                                             None))
+        # plain XLA forward — measured faster than both custom Pallas
+        # kernels on this path (fused MLP 0.5-0.6x, docs/DESIGN.md §1);
+        # the kernels live on as benchmark-only modules (ops/fused_mlp.py,
+        # ops/pallas_jacobi.py)
+        return core.mlp_forward(params, x, self.hidden_nonlinearity,
+                                self.output_nonlinearity, compute_dtype)
 
     def predict_fn(self, params, norm, obs, act):
         """Pure jittable prediction: obs' = obs + denorm(f(norm(obs,act))).

@@ -8,9 +8,17 @@ activation in VMEM, so each tile streams through all layers back-to-back on
 the MXU — HBM traffic drops from (L+1) activations to exactly one read of x
 and one write of y (weights stay VMEM-resident across the whole grid).
 
-Forward only (the planner never differentiates through it); training paths
-keep the plain XLA forward. Falls back to XLA when shapes don't fit the
-kernel's assumptions (layers too large for VMEM, CPU backend, ...).
+STATUS: benchmark-only. Honest device-serialized timing (benchmarks/
+bench_pallas_shapes.py, differenced scan lengths to cancel the ~20 ms
+host-dispatch RTT of the tunneled backend) measured XLA at 137-144 TFLOP/s
+vs this kernel's 74-88 on the canonical and saturated planner shapes on
+TPU v5e — XLA already fuses bias+nonlinearity into the matmul epilogue and
+pipelines HBM weight streaming better than this VMEM-resident scheme. The
+planner path therefore calls core.mlp_forward directly with no dispatch
+gate (round-3 VERDICT #8); this kernel remains as validated infrastructure
+(tests/test_ops.py) and a baseline for future re-tuning. The same verdict
+holds for the latency-chain attempt ops/pallas_jacobi.py (0.64x XLA on the
+contact-solver sweep chain, benchmarks/bench_pallas_jacobi.py).
 """
 import functools
 
@@ -24,13 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 # = 4 MB activation per tile (weights are bf16 and VMEM-resident)
 _TILE_ROWS = 2048
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16 MB/core VMEM
-
-# below this many rows the pad-to-tile waste outweighs the fusion win;
-# planners batch (n_candidates * n_envs) rows so they clear it easily
-MIN_ROWS = _TILE_ROWS
-
-_KERNEL_NONLINEARITIES = ('relu', 'tanh', 'swish', 'sigmoid')
-
 
 def _kernel(n_layers, hidden_nonlinearity, x_ref, *refs):
     """refs = w_0, b_0, ..., w_{L-1}, b_{L-1}, out_ref."""
@@ -72,52 +73,6 @@ def supported(params, backend=None):
     if backend != 'tpu':
         return False
     return _weights_fit_vmem(params)
-
-
-# Default OFF: honest device-serialized timing (benchmarks/
-# bench_pallas_shapes.py, differenced scan lengths to cancel the ~20 ms
-# host-dispatch RTT of the tunneled backend) measured XLA at 137-144
-# TFLOP/s vs this kernel's 74-88 on the canonical (2500x(512,512,512)) and
-# saturated (32768x(512,512)) planner shapes on TPU v5e — XLA already
-# fuses bias+nonlinearity into the matmul epilogue and pipelines HBM
-# weight streaming better than this kernel's VMEM-resident scheme. Earlier
-# per-call wins were dispatch-latency artifacts. The kernel stays as
-# validated infrastructure (tests/test_ops.py) and can be re-enabled per
-# model via `model.allow_fused_kernel = True` for future re-tuning.
-FUSED_DEFAULT = False
-
-
-def planner_forward(params, x, hidden_nonlinearity='relu',
-                    output_nonlinearity=None, compute_dtype=None,
-                    allow_fused=None):
-    """Inference-path MLP forward for the planners: dispatches to the fused
-    Pallas kernel when allowed and shape-eligible (TPU backend, bf16
-    compute, identity output, batch at least one row tile, weights fit
-    VMEM), otherwise the plain XLA forward. The decision is made at trace
-    time, so the same model code compiles to either path with zero runtime
-    branching.
-
-    allow_fused: None → FUSED_DEFAULT (currently False; see above). Must
-    be False inside GSPMD-sharded programs — tpu_custom_call has no SPMD
-    partitioning rule, so a pallas_call inside a mesh-sharded rollout
-    would force the env-sharded batch to be replicated/all-gathered (or
-    fail to partition). make_rollout_fn sets this off when it builds a
-    sharded program (samplers/rollout.py).
-    """
-    if allow_fused is None:
-        allow_fused = FUSED_DEFAULT
-    from learning_to_adapt_tpu.models import core
-    if (allow_fused
-            and compute_dtype == jnp.bfloat16
-            and output_nonlinearity is None
-            and isinstance(hidden_nonlinearity, str)
-            and hidden_nonlinearity in _KERNEL_NONLINEARITIES
-            and x.ndim == 2
-            and x.shape[0] >= MIN_ROWS
-            and supported(params)):
-        return fused_mlp_forward(params, x, hidden_nonlinearity)
-    return core.mlp_forward(params, x, hidden_nonlinearity,
-                            output_nonlinearity, compute_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('hidden_nonlinearity',))

@@ -13,14 +13,16 @@ arithmetic. This kernel runs the whole sweep chain inside ONE kernel with
 A resident in VMEM: grid over the env batch, fori_loop over sweeps, one
 (128,128)x(128,1) MXU op per sweep.
 
-This is the round-3 attempt VERDICT.md asked for on the latency-bound
-chain (the round-2 fused-MLP kernel lost to XLA on the MXU-friendly
-planner batch and ships disabled — docs/DESIGN.md section 1). Whether this
-one wins is measured by benchmarks/bench_pallas_jacobi.py with the same
-device-serialized differenced timing; the engine only dispatches to it
-when `ENABLED` is set by the rollout builder (single-chip, f32, TPU
-backend — pallas_call has no SPMD partitioning rule, so mesh-sharded
-programs keep the XLA path, same gating as ops/fused_mlp.py).
+STATUS: benchmark-only. This is the round-3 attempt VERDICT.md asked for
+on the latency-bound chain (the round-2 fused-MLP kernel lost to XLA on
+the MXU-friendly planner batch — ops/fused_mlp.py). Measured by
+benchmarks/bench_pallas_jacobi.py with device-serialized differenced
+timing (K vs 2K dependent physics-step chains, 5 envs, TPU v5e):
+XLA 83.4 us/step vs this kernel 130.1 us/step — **0.64x, XLA wins**, with
+bit-identical trajectories after 50 steps. The (128,128)x(128,1) matvec
+leaves the MXU pipeline mostly idle and the kernel boundary costs more
+than XLA's fused while-loop saves, so the engine keeps the plain
+fori_loop with no dispatch gate (docs/DESIGN.md section 1).
 """
 import functools
 
@@ -28,27 +30,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# flipped by benchmarks / rollout builders after measurement; default off
-# until a measured win on the target hardware (honest-default policy,
-# docs/DESIGN.md section 1)
-ENABLED = False
-
 _LANE = 128
 
 
 def _round_up(n, m):
     return (n + m - 1) // m * m
-
-
-def usable(dtype, backend=None):
-    """Kernel preconditions: f32 problem on a TPU default backend."""
-    if jnp.dtype(dtype) != jnp.float32:
-        return False
-    try:
-        platform = (backend or jax.default_backend())
-    except RuntimeError:  # pragma: no cover
-        return False
-    return platform == 'tpu'
 
 
 def _kernel(n_sweeps, a_ref, b_ref, ainv_ref, omega_ref, out_ref):

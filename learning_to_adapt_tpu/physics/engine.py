@@ -511,20 +511,14 @@ def constraint_forces(model: PhysicsModel, mm: MutableModel,
         omega = jnp.minimum(jnp.asarray(1.0, dtype),
                             1.8 / jnp.maximum(rho, 1e-10))
 
-        from learning_to_adapt_tpu.ops import pallas_jacobi
-        if pallas_jacobi.ENABLED and pallas_jacobi.usable(dtype):
-            # single fused VMEM kernel for the 60-sweep serial chain
-            # (gated: measured opt-in, f32, single-chip TPU only —
-            # ops/pallas_jacobi.py)
-            f = pallas_jacobi.jacobi_solve(A, b_vec, a_ii_inv, omega,
-                                           2 * model.iterations)
-        else:
-            def sweep(_, f):
-                return jnp.maximum(
-                    f - omega * (A @ f + b_vec) * a_ii_inv, 0.0)
+        # NB a fused Pallas VMEM kernel for this sweep chain was built and
+        # measured at 0.64x XLA (benchmarks/bench_pallas_jacobi.py,
+        # docs/DESIGN.md) — XLA's fori_loop wins; no dispatch gate here.
+        def sweep(_, f):
+            return jnp.maximum(f - omega * (A @ f + b_vec) * a_ii_inv, 0.0)
 
-            f0 = jnp.zeros(nrows, dtype)
-            f = jax.lax.fori_loop(0, 2 * model.iterations, sweep, f0)
+        f0 = jnp.zeros(nrows, dtype)
+        f = jax.lax.fori_loop(0, 2 * model.iterations, sweep, f0)
     else:
         # projected Gauss-Seidel: lax.scan over rows inside fori over sweeps
         def sweep(_, f):

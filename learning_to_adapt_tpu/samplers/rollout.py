@@ -54,12 +54,6 @@ def make_rollout_fn(env, policy, dynamics_model, num_rollouts,
     segment program — collectives only where physics/planner reductions
     need them, i.e. nowhere).
     """
-    if mesh is not None:
-        # pallas_call (tpu_custom_call) has no SPMD partitioning rule: keep
-        # the fused planner kernel out of mesh-sharded programs or GSPMD
-        # would replicate/all-gather the env-sharded candidate batch
-        # (ops/fused_mlp.py::planner_forward)
-        dynamics_model.allow_fused_kernel = False
     m = num_rollouts
     t_len = max_path_length
     seg = segment_len or _segment_len(t_len)

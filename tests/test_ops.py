@@ -29,22 +29,6 @@ def test_supported_gate():
     assert not fused_mlp.supported(huge, backend='tpu')
 
 
-def test_planner_forward_dispatch_matches_plain():
-    """planner_forward must be numerically identical to mlp_forward whenever
-    it falls back (CPU backend here), and the dispatch must never change the
-    function signature the models rely on."""
-    from learning_to_adapt_tpu.ops import fused_mlp
-    params = core.init_mlp(jax.random.PRNGKey(0), 26, (64, 64), 20)
-    x = jax.random.normal(jax.random.PRNGKey(1), (4096, 26), jnp.float32)
-    ref = core.mlp_forward(params, x, 'relu', None, jnp.bfloat16)
-    out = fused_mlp.planner_forward(params, x, 'relu', None, jnp.bfloat16)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
-    # training path (no compute dtype) also routes to the plain forward
-    ref32 = core.mlp_forward(params, x, 'relu', None, None)
-    out32 = fused_mlp.planner_forward(params, x, 'relu', None, None)
-    np.testing.assert_array_equal(np.asarray(out32), np.asarray(ref32))
-
-
 def test_pallas_jacobi_matches_xla_interpret():
     """ops/pallas_jacobi kernel == the engine's XLA fori_loop reference on
     a padded random PSD contact system (interpret mode; the TPU timing
@@ -71,11 +55,3 @@ def test_pallas_jacobi_matches_xla_interpret():
                                rtol=1e-5, atol=1e-6)
     assert (np.asarray(out) >= 0).all()
 
-
-def test_pallas_jacobi_usable_gate():
-    import jax.numpy as jnp
-    from learning_to_adapt_tpu.ops import pallas_jacobi
-    # f64 (the crosscheck configuration) and non-TPU backends keep XLA
-    assert not pallas_jacobi.usable(jnp.float64)
-    assert not pallas_jacobi.usable(jnp.float32, backend='cpu')
-    assert pallas_jacobi.usable(jnp.float32, backend='tpu')
