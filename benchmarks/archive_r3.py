@@ -21,6 +21,8 @@ RUNS = [
      'GrBAL cripple', '#eda100'),
     ('data/grbal/hfield_r3', 'grbal_cheetah_hfield_tpu_r3',
      'GrBAL hfield', '#e87ba4'),
+    ('data/mb_mpc/cripple_r3', 'mb_mpc_cheetah_cripple_tpu_r3',
+     'MB-MPC cripple', '#008300'),
 ]
 
 
