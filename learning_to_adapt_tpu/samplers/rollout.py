@@ -162,4 +162,9 @@ def make_rollout_fn(env, policy, dynamics_model, num_rollouts,
         return jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=1), *chunks)
 
+    # exposed for tests/profiling (e.g. the zero-collective HLO assertion
+    # in tests/test_infra.py — the structural basis of linear env-axis
+    # scaling)
+    rollout.init_jit = init_jit
+    rollout.segment_jit = segment_jit
     return rollout
