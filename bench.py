@@ -262,11 +262,14 @@ def main():
         base_canon = bench_cpu_reference_baseline(
             'canonical GrBAL', num_envs=5, n_cand=500, horizon=10,
             hidden=(512, 512, 512), n_cycles=8)
+    except Exception as e:  # noqa: BLE001 — baseline is auxiliary
+        print(f'cpu canonical baseline failed: {e}', file=sys.stderr)
+    try:
         base_sat = bench_cpu_reference_baseline(
             'saturated', num_envs=256, n_cand=128, horizon=10,
             hidden=(512, 512), n_cycles=3)
-    except Exception as e:  # noqa: BLE001 — baseline is auxiliary
-        print(f'cpu baseline failed: {e}', file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f'cpu saturated baseline failed: {e}', file=sys.stderr)
     sps_canon = None
     try:
         sps_canon = bench_grbal_canonical()
@@ -284,16 +287,19 @@ def main():
     if base_sat:
         _aux('vs_baseline_saturated (saturated shapes, both sides measured)',
              round(sps / base_sat, 1), 'x')
-    denom, source = ((base_sat, 'measured: reference architecture on this '
-                      'host CPU, saturated workload shapes')
-                     if base_sat else (50.0, 'estimate (oracle unavailable)'))
+    # never fabricate a denominator: if the same-shape baseline could not
+    # be measured, vs_baseline is reported as null rather than against a
+    # number from a different workload
     print(json.dumps({
         'metric': 'env-steps/s/chip (batched MPC rollouts, saturated)',
         'value': round(sps, 1),
         'unit': 'env-steps/s',
-        'vs_baseline': round(sps / denom, 2),
-        'baseline': round(denom, 2),
-        'baseline_source': source,
+        'vs_baseline': (round(sps / base_sat, 2) if base_sat else None),
+        'baseline': (round(base_sat, 2) if base_sat else None),
+        'baseline_source': ('measured: reference architecture on this host '
+                            'CPU, saturated workload shapes' if base_sat
+                            else 'unavailable (baseline measurement failed '
+                                 'on this host — see stderr)'),
     }))
 
 

@@ -16,7 +16,7 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
 
 from experiment_utils.sim_policy import load_experiment, rollout  # noqa: E402
 

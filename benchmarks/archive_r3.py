@@ -10,7 +10,7 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
 
 RUNS = [
     # (exp dir, result name, label, categorical slot color)

@@ -13,6 +13,7 @@ This file remains runnable as a solver-level comparison: a chain of K
 dependent solves (each solve's output feeds the next right-hand side) at
 the cheetah's constraint shapes, timed with the same K-vs-2K differencing.
 """
+import os
 import sys
 import time
 
@@ -20,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
 
 from learning_to_adapt_tpu.ops import pallas_jacobi  # noqa: E402
 

@@ -172,7 +172,9 @@ class TPUEnv(Serializable):
             phys = engine.PhysicsState(
                 qpos=jnp.where(bad, state.phys.qpos, phys.qpos),
                 qvel=jnp.where(bad, jnp.zeros_like(phys.qvel), phys.qvel))
-        data = engine.forward(self.model, state.mm, phys)
+        # pass the applied ctrl so ForwardData.qfrc_actuator carries the
+        # real actuator force (mj_forward fills it from d->ctrl)
+        data = engine.forward(self.model, state.mm, phys, ctrl=action)
         obs = self.observe(data, phys)
         reward = self.step_reward(data, action)
         done = jnp.zeros((), bool)  # none of the five envs terminates early

@@ -60,11 +60,14 @@ def gather(tree):
 
 
 def stage_fit_data(model, train, test):
-    """Stage a model's fit datasets on device. With `model.mesh` set, data
-    rows/paths shard over the 'env' axis and params/opt-state/normalizer
-    replicate up front — explicit shardings are what let the same fit loop
+    """Stage a model's fit state on device. With `model.mesh` set, data
+    rows/paths shard over the 'env' axis, and — NB, a deliberate side
+    effect on `model` — `model.params` / `model.opt_state` /
+    `model.normalizer` are REPLACED with replicated-on-the-mesh copies.
+    Explicit shardings on all six pieces are what let the same fit loop
     run multi-controller (committed single-device arrays cannot be
-    resharded across processes by jit)."""
+    resharded across processes by jit), and the replicated params are
+    exactly what the epoch function's in_shardings expect."""
     mesh = getattr(model, 'mesh', None)
     if mesh is None:
         return jax.device_put(train), jax.device_put(test)

@@ -5,6 +5,8 @@ when initial_random_samples) -> process -> fit dynamics model -> log named
 timing segments (Time-EnvSampling / Time-EnvSampleProc / Time-ModelFit,
 reference mb_trainer.py:75-103) -> snapshot.
 """
+import contextlib
+import os
 import time
 
 from learning_to_adapt_tpu.utils import logging as logger
@@ -43,17 +45,22 @@ class Trainer:
             else:
                 logger.log('Obtaining samples from the environment using '
                            'the policy...')
-            # trace the second iteration: past the compile transient, so the
-            # trace shows steady-state device work
+            # trace the first iteration whose programs have already
+            # compiled: with initial_random_samples the planner rollout
+            # first compiles at itr start+1, so steady-state is start+2
+            # (clamped so short runs still produce a trace)
+            steady = self.start_itr + (2 if self.initial_random_samples
+                                       else 1)
             do_trace = (self.profile_dir is not None
-                        and itr == self.start_itr + 1)
+                        and itr == min(steady, self.n_itr - 1))
             if do_trace:
                 from learning_to_adapt_tpu.utils.profiling import device_trace
-                import os
-                with device_trace(os.path.join(self.profile_dir, 'sampling')):
-                    paths = self.sampler.obtain_samples(
-                        log=True, log_prefix='EnvSampler-', random=random)
+                sampling_ctx = device_trace(
+                    os.path.join(self.profile_dir, 'sampling'))
+                fit_ctx = device_trace(os.path.join(self.profile_dir, 'fit'))
             else:
+                sampling_ctx = fit_ctx = contextlib.nullcontext()
+            with sampling_ctx:
                 paths = self.sampler.obtain_samples(
                     log=True, log_prefix='EnvSampler-', random=random)
             logger.logkv('Time-EnvSampling', time.time() - t)
@@ -70,19 +77,12 @@ class Trainer:
             t = time.time()
             logger.log('Training dynamics model for '
                        f'{self.dynamics_model_max_epochs} epochs...')
-            def _fit():
+            with fit_ctx:
                 self.dynamics_model.fit(
                     samples['observations'], samples['actions'],
                     samples['next_observations'],
                     epochs=self.dynamics_model_max_epochs,
                     verbose=True, log_tabular=True, logger=logger)
-            if do_trace:
-                from learning_to_adapt_tpu.utils.profiling import device_trace
-                import os
-                with device_trace(os.path.join(self.profile_dir, 'fit')):
-                    _fit()
-            else:
-                _fit()
             logger.logkv('Time-ModelFit', time.time() - t)
 
             logger.logkv('Itr', itr)

@@ -32,11 +32,21 @@ def _worker_env(n_local_devices):
 
 
 def _free_port():
-    s = socket.socket()
-    s.bind(('localhost', 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+    """A port for the jax.distributed coordinator. Probing with bind(0)
+    then closing leaves a TOCTOU window; offsetting by PID keeps parallel
+    test runs on this host from racing each other for the same port, and
+    the bind-probe still rejects ports already in use."""
+    base = 20011 + (os.getpid() % 20000)
+    for port in range(base, base + 50):
+        s = socket.socket()
+        try:
+            s.bind(('localhost', port))
+        except OSError:
+            continue
+        finally:
+            s.close()
+        return port
+    raise RuntimeError('no free port found')
 
 
 def _parse(out):
