@@ -43,6 +43,7 @@ def run_experiment(config):
     dynamics_model = MetaMLPDynamicsModel(
         name='dyn_model',
         env=env,
+        seed=config.get('seed', 0),
         meta_batch_size=config['meta_batch_size'],
         inner_learning_rate=config['inner_learning_rate'],
         learning_rate=config['learning_rate'],
@@ -67,6 +68,7 @@ def run_experiment(config):
     sampler = Sampler(
         env=env,
         policy=policy,
+        seed=config.get('seed', 0),
         n_parallel=config['n_parallel'],
         max_path_length=config['max_path_length'],
         num_rollouts=config['num_rollouts'],
@@ -138,6 +140,7 @@ if __name__ == '__main__':
     p.add_argument('--n_itr', type=int, default=None)
     p.add_argument('--exp_name', type=str, default='')
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--seed', type=int, default=0)
     p.add_argument('--profile', action='store_true',
                    help='capture jax.profiler traces of one sampling '
                         'iteration and one model fit into <exp>/profile')
@@ -152,6 +155,7 @@ if __name__ == '__main__':
     if args.task:
         config['task'] = args.task
     config['resume'] = args.resume
+    config['seed'] = args.seed
     config['profile'] = args.profile
     if args.n_itr:
         config['n_itr'] = args.n_itr

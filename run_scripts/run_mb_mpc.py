@@ -42,6 +42,7 @@ def run_experiment(config):
     dynamics_model = MLPDynamicsModel(
         name='dyn_model',
         env=env,
+        seed=config.get('seed', 0),
         learning_rate=config['learning_rate'],
         hidden_sizes=config['hidden_sizes'],
         valid_split_ratio=config['valid_split_ratio'],
@@ -65,6 +66,7 @@ def run_experiment(config):
     sampler = Sampler(
         env=env,
         policy=policy,
+        seed=config.get('seed', 0),
         num_rollouts=config['num_rollouts'],
         max_path_length=config['max_path_length'],
         n_parallel=config['n_parallel'],
@@ -134,6 +136,7 @@ if __name__ == '__main__':
     p.add_argument('--n_itr', type=int, default=None)
     p.add_argument('--exp_name', type=str, default='')
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--seed', type=int, default=0)
     p.add_argument('--profile', action='store_true',
                    help='capture jax.profiler traces of one sampling '
                         'iteration and one model fit into <exp>/profile')
@@ -148,6 +151,7 @@ if __name__ == '__main__':
     if args.task:
         config['task'] = args.task
     config['resume'] = args.resume
+    config['seed'] = args.seed
     config['profile'] = args.profile
     if args.n_itr:
         config['n_itr'] = args.n_itr
