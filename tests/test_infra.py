@@ -307,6 +307,31 @@ class TestViskitDashboard:
             page = build_page(data_root, {'band': [band]})
             assert '<svg' in page
 
+    def test_http_server_round_trip(self, data_root):
+        """The actual HTTP layer (reference serves over Flask,
+        frontend.py:606-757; here http.server): bind an ephemeral port,
+        GET the dashboard with a filter query, assert a 200 HTML page
+        with a plot."""
+        import threading
+        import urllib.request
+        from http.server import HTTPServer
+        from tools.viskit_server import make_handler
+
+        server = HTTPServer(('localhost', 0), make_handler(data_root))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                    f'http://localhost:{port}/?y=EnvTrajs-AverageReturn'
+                    f'&band=mean-std&f_env=AntEnv', timeout=30) as r:
+                assert r.status == 200
+                body = r.read().decode()
+            assert '<svg' in body and '1/3 runs' in body
+        finally:
+            server.shutdown()
+            t.join(timeout=10)
+
 
 class TestScalingStructure:
     """Structural scaling guarantees, asserted on the compiled SPMD
