@@ -55,8 +55,7 @@ def gather(tree):
     if jax.process_count() == 1:
         return jax.device_get(tree)
     from jax.experimental import multihost_utils
-    return jax.tree.map(
-        lambda x: multihost_utils.process_allgather(x, tiled=True), tree)
+    return multihost_utils.process_allgather(tree, tiled=True)
 
 
 def stage_fit_data(model, train, test):

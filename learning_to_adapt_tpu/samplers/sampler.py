@@ -53,19 +53,18 @@ class Sampler:
         self._key, sub = jax.random.split(self._key)
         fn = self._rollout_fn(random)
         params, norm = model.params, model.normalizer
-        if self.mesh is not None and jax.process_count() > 1:
-            # multi-controller: replicate host-local inputs onto the
-            # spanning mesh (every process holds identical values — same
-            # seeds, same fit trajectory), then allgather the env-sharded
-            # paths so the host-side fit/logging sees all of them
+        # multi-controller: replicate host-local inputs onto the spanning
+        # mesh (every process holds identical values — same seeds, same
+        # fit trajectory); afterwards gather() allgathers the env-sharded
+        # paths so host-side fit/logging sees all of them
+        multi = self.mesh is not None and jax.process_count() > 1
+        if multi:
             from learning_to_adapt_tpu.parallel import mesh as par_mesh
             params, norm, sub = par_mesh.stage(
                 self.mesh, (params, norm, sub))
-            paths = fn(params, norm, sub, np.int32(self._episode_idx))
-            paths = par_mesh.gather(paths)
-        else:
-            paths = fn(params, norm, sub, np.int32(self._episode_idx))
-            paths = jax.device_get(paths)
+        paths = fn(params, norm, sub, np.int32(self._episode_idx))
+        paths = (par_mesh.gather(paths) if multi
+                 else jax.device_get(paths))
         paths = jax.tree.map(np.asarray, paths)
         self._episode_idx += 1
         self.total_timesteps_sampled += self.total_samples
