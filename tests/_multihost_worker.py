@@ -31,7 +31,8 @@ def main():
     assert len(jax.devices()) == 8, jax.devices()
 
     from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize
-    from learning_to_adapt_tpu.models import MLPDynamicsModel
+    from learning_to_adapt_tpu.models import (MetaMLPDynamicsModel,
+                                              MLPDynamicsModel)
     from learning_to_adapt_tpu.parallel.mesh import make_mesh
     from learning_to_adapt_tpu.policies import MPCController
     from learning_to_adapt_tpu.samplers import ModelSampleProcessor, Sampler
@@ -53,14 +54,29 @@ def main():
                         samples['next_observations'], epochs=3)
         paths2 = sampler.obtain_samples(random=False)
 
-    param_sum = float(sum(np.abs(np.asarray(x)).sum()
-                          for x in jax.tree.leaves(jax.device_get(
-                              model.params))))
+    # the flagship multihost workload is GrBAL (run_grbal_multihost.py):
+    # also fit the second-order meta-learner sharded over the spanning
+    # mesh on the same path-major data (recurrent [paths, T, dim] layout)
+    meta = MetaMLPDynamicsModel('meta', env, meta_batch_size=2,
+                                hidden_sizes=(16,), batch_size=3, seed=7)
+    meta.mesh = mesh
+    with mesh:
+        rec = ModelSampleProcessor(recurrent=True).process_samples(paths)
+        meta_fit = meta.fit(rec['observations'], rec['actions'],
+                            rec['next_observations'], epochs=2)
+
+    def param_sum(m):
+        return round(float(sum(np.abs(np.asarray(x)).sum()
+                               for x in jax.tree.leaves(
+                                   jax.device_get(m.params)))), 4)
+
     print('FINGERPRINT ' + json.dumps({
         'rand_reward_sum': round(float(paths['rewards'].sum()), 4),
         'plan_reward_sum': round(float(paths2['rewards'].sum()), 4),
         'train_loss': round(float(fit['train_loss']), 6),
-        'param_sum': round(param_sum, 4),
+        'param_sum': param_sum(model),
+        'meta_post_loss': round(float(meta_fit['post_loss']), 6),
+        'meta_param_sum': param_sum(meta),
     }), flush=True)
 
 
