@@ -25,9 +25,16 @@ _GEOM_PAIRS = ((3, 4), (6, 7), (9, 10), (12, 13))
 class AntEnv(TPUEnv):
     name = 'ant'
 
-    def __init__(self, task='cripple', reset_every_episode=False, **kw):
+    def __init__(self, task='cripple', reset_every_episode=False,
+                 cripple_set=(0, 1, 2), **kw):
+        """cripple_set: legs the per-episode task distribution draws from.
+        Default (0, 1, 2) is the reference's train distribution — leg 3 is
+        reserved for meta-test (reference ant_env.py:105-106). The meta-test
+        protocol builds an eval env with cripple_set=(3,)."""
         from learning_to_adapt_tpu.utils.serializable import Serializable
         Serializable.quick_init(self, locals())
+        self.cripple_set = tuple(int(g) for g in cripple_set)
+        assert all(0 <= g <= 3 for g in self.cripple_set) and self.cripple_set
         super().__init__(task=task, reset_every_episode=reset_every_episode,
                          **kw)
         assert self.task in (None, 'cripple')
@@ -50,8 +57,10 @@ class AntEnv(TPUEnv):
         return vel + 0.05
 
     def sample_task(self, key, mm, task):
-        # train legs only: 0..2 (leg 3 = meta-test holdout)
-        leg = jax.random.randint(key, (), 0, 3)
+        # draw from the configured leg set (default 0..2: leg 3 is the
+        # meta-test holdout)
+        legs = jnp.asarray(self.cripple_set, jnp.int32)
+        leg = legs[jax.random.randint(key, (), 0, len(self.cripple_set))]
         mask = jnp.ones(self.act_dim, self.dtype)
         act_pairs = jnp.asarray(_ACT_PAIRS, jnp.int32)       # (4,2)
         mask = mask.at[act_pairs[leg]].set(0.0)

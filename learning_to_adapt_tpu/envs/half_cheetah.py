@@ -23,11 +23,25 @@ class HalfCheetahEnv(TPUEnv):
 
     name = 'half_cheetah'
 
-    def __init__(self, task='cripple', reset_every_episode=False, **kw):
+    def __init__(self, task='cripple', reset_every_episode=False,
+                 cripple_set=None, **kw):
+        """cripple_set: actuator ids the per-episode task distribution draws
+        from (default 1..5, the reference's distribution — bthigh/actuator 0
+        is never crippled, half_cheetah_env.py:77). The meta-test protocol
+        trains with one actuator held out (e.g. (1,2,3,5)) and evaluates on
+        the holdout ((4,)) — the cheetah analog of the Ant leg-3 split."""
         from learning_to_adapt_tpu.utils.serializable import Serializable
         Serializable.quick_init(self, locals())
+        # set before super().__init__: obs-shape inference traces reset()
+        # -> sample_task. 1..5 = all actuators but bthigh (6 is the cheetah
+        # asset's actuator count, asserted below).
+        self.cripple_set = (tuple(int(a) for a in cripple_set)
+                            if cripple_set is not None
+                            else tuple(range(1, 6)))
         super().__init__(task=task, reset_every_episode=reset_every_episode,
                          **kw)
+        assert all(1 <= a < self.act_dim for a in self.cripple_set) \
+            and self.cripple_set
         assert self.task in (None, 'cripple')
 
     def _build_model(self):
@@ -48,7 +62,9 @@ class HalfCheetahEnv(TPUEnv):
         return forward - ctrl_cost
 
     def sample_task(self, key, mm, task):
-        crippled = jax.random.randint(key, (), 1, self.act_dim)
+        acts = jnp.asarray(self.cripple_set, jnp.int32)
+        crippled = acts[jax.random.randint(key, (), 0,
+                                           len(self.cripple_set))]
         mask = jnp.ones(self.act_dim, self.dtype).at[crippled].set(0.0)
         return mm, dict(task, cripple_mask=mask)
 

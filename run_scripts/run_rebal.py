@@ -37,8 +37,11 @@ def run_experiment(config):
     json.dump(config, open(os.path.join(exp_dir, 'params.json'), 'w'),
               indent=2, sort_keys=True, cls=ClassEncoder)
 
+    env_kw = {}
+    if config.get('cripple_set'):
+        env_kw['cripple_set'] = tuple(config['cripple_set'])
     env = normalize(config['env'](reset_every_episode=True,
-                                  task=config['task']))
+                                  task=config['task'], **env_kw))
 
     dynamics_model = RNNDynamicsModel(
         name='dyn_model',
@@ -148,11 +151,18 @@ if __name__ == '__main__':
                         '(default HalfCheetahEnv)')
     p.add_argument('--task', type=str, default=None,
                    help="task distribution, e.g. 'cripple'")
+    p.add_argument('--cripple_set', type=str, default=None,
+                   help='comma-separated leg/actuator ids the cripple task '
+                        'distribution draws from (meta-test holdout '
+                        'protocol), e.g. "1,2,3,5"')
     args = p.parse_args()
     if args.env:
         config['env'] = ENVS[args.env]
     if args.task:
         config['task'] = args.task
+    if args.cripple_set:
+        config['cripple_set'] = tuple(
+            int(x) for x in args.cripple_set.split(','))
     config['resume'] = args.resume
     config['seed'] = args.seed
     config['profile'] = args.profile

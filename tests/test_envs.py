@@ -214,3 +214,57 @@ class TestHostSurface:
         # recovery clamps velocity to zero + pre-step pose; raw mode doesn't
         assert float(jnp.max(jnp.abs(s2_on.phys.qvel))) == 0.0
         assert float(jnp.max(jnp.abs(s2_off.phys.qvel))) > 100.0
+
+
+class TestCrippleHoldout:
+    """Meta-test train/holdout splits (reference ant_env.py:105-106: leg 3
+    is reserved for meta-test; the cheetah analog holds out one actuator)."""
+
+    def _sampled_zeros(self, env, n=64):
+        """Actuator indices zeroed by n task draws."""
+        zeros = set()
+        for i in range(n):
+            _, task = env.sample_task(jax.random.PRNGKey(i), env.mm0,
+                                      env.default_task())
+            idx = np.where(np.asarray(task['cripple_mask']) == 0.0)[0]
+            zeros.update(int(j) for j in idx)
+        return zeros
+
+    def test_ant_default_never_cripples_leg3(self):
+        from learning_to_adapt_tpu.envs.ant import _ACT_PAIRS
+        env = AntEnv(task='cripple', reset_every_episode=True)
+        assert env.cripple_set == (0, 1, 2)
+        zeros = self._sampled_zeros(env)
+        leg3 = set(_ACT_PAIRS[3])
+        assert not (zeros & leg3), 'train distribution touched holdout leg 3'
+        # all three train legs appear
+        for leg in (0, 1, 2):
+            assert set(_ACT_PAIRS[leg]) <= zeros
+
+    def test_ant_eval_set_cripples_only_leg3(self):
+        from learning_to_adapt_tpu.envs.ant import _ACT_PAIRS
+        env = AntEnv(task='cripple', reset_every_episode=True,
+                     cripple_set=(3,))
+        zeros = self._sampled_zeros(env, n=8)
+        assert zeros == set(_ACT_PAIRS[3])
+
+    def test_cheetah_holdout_split(self):
+        train = HalfCheetahEnv(task='cripple', reset_every_episode=True,
+                               cripple_set=(1, 2, 3, 5))
+        assert self._sampled_zeros(train) == {1, 2, 3, 5}
+        hold = HalfCheetahEnv(task='cripple', reset_every_episode=True,
+                              cripple_set=(4,))
+        assert self._sampled_zeros(hold, n=8) == {4}
+        # default distribution unchanged: 1..5
+        dflt = HalfCheetahEnv(task='cripple', reset_every_episode=True)
+        assert dflt.cripple_set == (1, 2, 3, 4, 5)
+
+    def test_cripple_set_survives_serializable_roundtrip(self):
+        import pickle
+        env = AntEnv(task='cripple', reset_every_episode=True,
+                     cripple_set=(3,))
+        env2 = pickle.loads(pickle.dumps(env))
+        assert env2.cripple_set == (3,)
+        env3 = HalfCheetahEnv(task='cripple', cripple_set=(1, 2, 3, 5))
+        env4 = pickle.loads(pickle.dumps(env3))
+        assert env4.cripple_set == (1, 2, 3, 5)
