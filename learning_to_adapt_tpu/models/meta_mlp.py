@@ -161,7 +161,11 @@ class MetaMLPDynamicsModel:
                 out.append(p)
             return out
 
-        from learning_to_adapt_tpu.parallel.mesh import stage_fit_data
+        from learning_to_adapt_tpu.parallel.mesh import (
+            stage_fit_data, stage_model_state)
+        # explicit learner-state restage (replaces params/opt_state/
+        # normalizer with mesh-replicated copies when self.mesh is set)
+        stage_model_state(self)
         tr_dev, te_dev = stage_fit_data(
             self, tuple(pad_paths(self._train, cap_tr, p_tr)),
             tuple(pad_paths(self._test, cap_te, p_te)))
@@ -263,7 +267,16 @@ class MetaMLPDynamicsModel:
         if getattr(self, 'mesh', None) is not None:
             # sharded meta-learner: path-major train/valid arrays sharded
             # over the mesh 'env' axis (paths ARE env episodes), params
-            # replicated; GSPMD inserts the gradient psums
+            # replicated; GSPMD inserts the gradient psums.
+            # Known cost (documented, measured acceptable at these dataset
+            # sizes): sample_windows indexes paths with GLOBAL random ids
+            # (a[pidx]), so GSPMD all-gathers the operand per train step —
+            # HBM-resident sharding, replicated compute, not data-parallel
+            # FLOP scaling. The window sampler needs global indices for
+            # numerics parity with the single-device program (the
+            # sharded==single fit test); restricting pidx to local shards
+            # (shard_map) would change batch composition. The plain-MLP
+            # epoch is the true DP path (mlp.py; TestScalingStructure).
             from learning_to_adapt_tpu.parallel import mesh as par_mesh
             fn = par_mesh.jit_epoch_sharded(self.mesh, epoch_fn, 8, {3, 4})
         else:
@@ -352,7 +365,10 @@ class MetaMLPDynamicsModel:
                   opt_state=jax.device_get(self.opt_state),
                   normalizer=jax.device_get(self.normalizer))
         if include_data:
-            sd.update(train=self._train, test=self._test)
+            # full-fidelity resume: dataset buffers AND the split/shuffle RNG
+            # (the train/valid composition of every future fit depends on it)
+            sd.update(train=self._train, test=self._test,
+                      rng_state=self._rng.get_state())
         return sd
 
     def load_state_dict(self, sd):
@@ -361,3 +377,5 @@ class MetaMLPDynamicsModel:
         self.normalizer = jax.device_put(sd['normalizer'])
         self._train = sd.get('train')
         self._test = sd.get('test')
+        if sd.get('rng_state') is not None:
+            self._rng.set_state(sd['rng_state'])

@@ -146,7 +146,11 @@ class MLPDynamicsModel:
         epoch_fn = self._get_epoch_fn(tr_obs.shape[0], te_obs.shape[0],
                                       n_batches)
 
-        from learning_to_adapt_tpu.parallel.mesh import stage_fit_data
+        from learning_to_adapt_tpu.parallel.mesh import (
+            stage_fit_data, stage_model_state)
+        # explicit learner-state restage (replaces params/opt_state/
+        # normalizer with mesh-replicated copies when self.mesh is set)
+        stage_model_state(self)
         tr_dev, te_dev = stage_fit_data(
             self, (tr_obs, tr_act, tr_delta, tr_w),
             (te_obs, te_act, te_delta, te_w))
@@ -292,7 +296,10 @@ class MLPDynamicsModel:
                   opt_state=jax.device_get(self.opt_state),
                   normalizer=jax.device_get(self.normalizer))
         if include_data:
-            sd.update(train=self._train, test=self._test)
+            # full-fidelity resume: dataset buffers AND the split/shuffle RNG
+            # (the train/valid composition of every future fit depends on it)
+            sd.update(train=self._train, test=self._test,
+                      rng_state=self._rng.get_state())
         return sd
 
     def load_state_dict(self, sd):
@@ -301,3 +308,5 @@ class MLPDynamicsModel:
         self.normalizer = jax.device_put(sd['normalizer'])
         self._train = sd.get('train')
         self._test = sd.get('test')
+        if sd.get('rng_state') is not None:
+            self._rng.set_state(sd['rng_state'])

@@ -174,7 +174,11 @@ class RNNDynamicsModel:
 
         tr_arrs, tr_w = pad(self._train, cap_tr, p_tr)
         te_arrs, te_w = pad(self._test, cap_te, p_te)
-        from learning_to_adapt_tpu.parallel.mesh import stage_fit_data
+        from learning_to_adapt_tpu.parallel.mesh import (
+            stage_fit_data, stage_model_state)
+        # explicit learner-state restage (replaces params/opt_state/
+        # normalizer with mesh-replicated copies when self.mesh is set)
+        stage_model_state(self)
         tr_dev, te_dev = stage_fit_data(
             self, tuple(tr_arrs) + (tr_w,), tuple(te_arrs) + (te_w,))
 
@@ -301,7 +305,10 @@ class RNNDynamicsModel:
                   opt_state=jax.device_get(self.opt_state),
                   normalizer=jax.device_get(self.normalizer))
         if include_data:
-            sd.update(train=self._train, test=self._test)
+            # full-fidelity resume: dataset buffers AND the split/shuffle RNG
+            # (the train/valid composition of every future fit depends on it)
+            sd.update(train=self._train, test=self._test,
+                      rng_state=self._rng.get_state())
         return sd
 
     def load_state_dict(self, sd):
@@ -310,3 +317,5 @@ class RNNDynamicsModel:
         self.normalizer = jax.device_put(sd['normalizer'])
         self._train = sd.get('train')
         self._test = sd.get('test')
+        if sd.get('rng_state') is not None:
+            self._rng.set_state(sd['rng_state'])

@@ -50,9 +50,20 @@ def _build(src):
         with open(stamp) as f:
             current = f.read().strip()
     if not os.path.exists(out) or current != digest:
-        subprocess.run(
-            ['g++', '-O2', '-shared', '-fPIC', '-std=c++17', '-o', out, src],
-            check=True, capture_output=True)
+        # concurrent-build safe: compile to a per-process temp name, then
+        # os.rename into place (atomic on one filesystem) — two processes
+        # that both see a stale stamp never leave a half-written .so for a
+        # third to dlopen; the stamp is written only after the rename
+        tmp = f'{out}.{os.getpid()}.tmp'
+        try:
+            subprocess.run(
+                ['g++', '-O2', '-shared', '-fPIC', '-std=c++17', '-o', tmp,
+                 src],
+                check=True, capture_output=True)
+            os.rename(tmp, out)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         with open(stamp, 'w') as f:
             f.write(digest)
     return out

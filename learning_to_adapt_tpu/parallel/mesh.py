@@ -58,20 +58,35 @@ def gather(tree):
     return multihost_utils.process_allgather(tree, tiled=True)
 
 
-def stage_fit_data(model, train, test):
-    """Stage a model's fit state on device. With `model.mesh` set, data
-    rows/paths shard over the 'env' axis, and — NB, a deliberate side
-    effect on `model` — `model.params` / `model.opt_state` /
-    `model.normalizer` are REPLACED with replicated-on-the-mesh copies.
-    Explicit shardings on all six pieces are what let the same fit loop
-    run multi-controller (committed single-device arrays cannot be
+def stage_model_state(model):
+    """EXPLICITLY replace `model.params` / `model.opt_state` /
+    `model.normalizer` with replicated-on-the-mesh copies (no-op without a
+    mesh). Explicit shardings on the learner state are what let the same
+    fit loop run multi-controller (committed single-device arrays cannot be
     resharded across processes by jit), and the replicated params are
-    exactly what the epoch function's in_shardings expect."""
+    exactly what the sharded epoch function's in_shardings expect. Model
+    fit loops call this alongside stage_fit_data — the mutation lives in a
+    function named for it, not hidden in a data stager."""
+    mesh = getattr(model, 'mesh', None)
+    if mesh is None:
+        return
+    model.params, model.opt_state, model.normalizer = stage(
+        mesh, (model.params, model.opt_state, model.normalizer))
+
+
+def stage_fit_data(model, train, test):
+    """Stage fit datasets on device: with `model.mesh` set, data rows/paths
+    shard over the 'env' axis; otherwise a plain device_put. Pure — learner
+    state is staged separately by stage_model_state."""
     mesh = getattr(model, 'mesh', None)
     if mesh is None:
         return jax.device_put(train), jax.device_put(test)
-    model.params, model.opt_state, model.normalizer = stage(
-        mesh, (model.params, model.opt_state, model.normalizer))
+    n_env = mesh.shape['env']
+    for leaf in jax.tree.leaves((train, test)):
+        assert leaf.shape[0] % n_env == 0, (
+            f'fit-data leading axis {leaf.shape[0]} does not divide over the '
+            f"mesh 'env' axis ({n_env}); pad capacities (PATH_CHUNK / "
+            f'PAD_CHUNK) assume the env axis is a power of two <= chunk')
     return stage(mesh, train, P('env')), stage(mesh, test, P('env'))
 
 
@@ -92,7 +107,6 @@ def sharded_rollout_fn(rollout_fn, mesh: Mesh, num_rollouts: int):
     over the mesh 'env' axis: per-env reset keys go in sharded, path arrays
     come out sharded; params/normalizer stay replicated."""
     env_sharded = NamedSharding(mesh, P('env'))
-    repl = NamedSharding(mesh, P())
 
     @functools.partial(jax.jit,
                        out_shardings=env_sharded)

@@ -10,6 +10,7 @@ chip and shards the env axis across chips (parallel/), so every call is
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from learning_to_adapt_tpu.samplers.rollout import make_rollout_fn
@@ -77,6 +78,19 @@ class Sampler:
 
     def update_tasks(self):
         pass  # tasks are resampled inside env.reset (task-as-data)
+
+    # ---- resume fidelity: the PRNG key and episode counter determine the
+    # task/reset sequence, so a resumed run continues the exact stream a
+    # fresh run would have produced (utils/checkpoint.py)
+    def state_dict(self):
+        return dict(key=np.asarray(self._key),
+                    episode_idx=self._episode_idx,
+                    total_timesteps_sampled=self.total_timesteps_sampled)
+
+    def load_state_dict(self, sd):
+        self._key = jnp.asarray(sd['key'])
+        self._episode_idx = int(sd['episode_idx'])
+        self.total_timesteps_sampled = int(sd['total_timesteps_sampled'])
 
 
 class ModelSampleProcessor:

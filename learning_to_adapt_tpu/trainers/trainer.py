@@ -46,11 +46,14 @@ class Trainer:
                 logger.log('Obtaining samples from the environment using '
                            'the policy...')
             # trace the first iteration whose programs have already
-            # compiled: with initial_random_samples the planner rollout
-            # first compiles at itr start+1, so steady-state is start+2
-            # (clamped so short runs still produce a trace)
-            steady = self.start_itr + (2 if self.initial_random_samples
-                                       else 1)
+            # compiled: the planner rollout first compiles on the first
+            # non-random iteration, which is start_itr+1 only when itr 0 is
+            # actually random (initial_random_samples AND a fresh run —
+            # on a resumed run itr start_itr already plans), so steady-state
+            # is one iteration after that (clamped so short runs still
+            # produce a trace)
+            itr0_random = self.initial_random_samples and self.start_itr == 0
+            steady = self.start_itr + (2 if itr0_random else 1)
             do_trace = (self.profile_dir is not None
                         and itr == min(steady, self.n_itr - 1))
             if do_trace:
@@ -102,8 +105,13 @@ class Trainer:
         # env rides along as a Serializable (ctor-replay pickling, the
         # reference's snapshot protocol: mb_trainer.py:106-108 pickles
         # {itr, policy, env, dynamics_model}); model/optimizer state as
-        # explicit pytree state dicts
+        # explicit pytree state dicts. include_data=True: a --resume'd run
+        # continues with the SAME aggregated dataset + split RNG + sampler
+        # task stream a straight-through run would have (resume-equivalence,
+        # tested in tests/test_replay_e2e.py::test_resume_equivalence)
         return dict(itr=itr,
                     env=self.env,
-                    dynamics_model=self.dynamics_model.state_dict(),
+                    dynamics_model=self.dynamics_model.state_dict(
+                        include_data=True),
+                    sampler=self.sampler.state_dict(),
                     config=self.config)

@@ -25,14 +25,19 @@ def load_snapshot(path):
         return pickle.load(f)
 
 
-def resume_trainer(exp_dir, dynamics_model):
-    """Restores model state from an experiment dir; returns the next
-    iteration index (the reference exposes Trainer(start_itr=...) but never
-    wires it — reference trainers/mb_trainer.py:29; here resume is
-    first-class)."""
+def resume_trainer(exp_dir, dynamics_model, sampler=None):
+    """Restores model state (params/opt/normalizer AND the aggregated
+    dataset + split RNG, full-fidelity) plus the sampler's PRNG/episode
+    stream from an experiment dir; returns the next iteration index (the
+    reference exposes Trainer(start_itr=...) but never wires it — reference
+    trainers/mb_trainer.py:29; here resume is first-class and
+    resume-equivalent: train(N) == train(k) + resume(N-k) up to f32
+    reduction order, tested in tests/test_replay_e2e.py)."""
     path = os.path.join(exp_dir, 'params.pkl')
     if not os.path.exists(path):
         return 0
     snap = load_snapshot(path)
     dynamics_model.load_state_dict(snap['dynamics_model'])
+    if sampler is not None and snap.get('sampler') is not None:
+        sampler.load_state_dict(snap['sampler'])
     return snap['itr'] + 1

@@ -8,17 +8,30 @@ import os
 
 import jax
 
-_DONE = False
+_CONFIGURED = None  # resolved cache dir, once set
 
 
 def enable_persistent_cache(subdir='.jax_cache'):
-    global _DONE
-    if _DONE:
-        return
+    """Idempotent per cache path: a second call with the SAME subdir is a
+    no-op; a different subdir warns and keeps the first (retargeting the
+    cache mid-process would orphan already-written entries). Respects a
+    cache dir the embedding process (tests/bench) already configured."""
+    global _CONFIGURED
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     cache = os.path.join(repo, subdir)
+    if _CONFIGURED is not None:
+        if _CONFIGURED != cache:
+            import warnings
+            warnings.warn(
+                f'enable_persistent_cache({subdir!r}) ignored: cache already '
+                f'configured at {_CONFIGURED}', stacklevel=2)
+        return
+    existing = jax.config.jax_compilation_cache_dir
+    if existing:
+        _CONFIGURED = existing  # embedding process configured one — keep it
+        return
     os.makedirs(cache, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    _DONE = True
+    _CONFIGURED = cache

@@ -78,7 +78,7 @@ def run_experiment(config):
     start_itr = 0
     if config.get('resume'):
         from learning_to_adapt_tpu.utils.checkpoint import resume_trainer
-        start_itr = resume_trainer(exp_dir, dynamics_model)
+        start_itr = resume_trainer(exp_dir, dynamics_model, sampler)
         logger.log(f'Resuming from iteration {start_itr}')
 
     sample_processor = ModelSampleProcessor(recurrent=False)

@@ -4,7 +4,9 @@ Exercises the code path run_scripts/run_grbal_multihost.py uses on a real
 pod slice — `jax.distributed.initialize` + a device mesh spanning
 processes — entirely on the CPU backend: 2 OS processes x 4 virtual
 devices each vs 1 process x 8 devices, same seeds, asserting the sharded
-rollout and the sharded model.fit produce identical results. This is the
+rollout and the sharded model.fit agree to rtol=2e-3 (the same program up
+to f32 reduction order — GSPMD partitions reductions differently across
+process topologies, so bitwise equality is not expected). This is the
 distributed-correctness test the reference never had (its pipe protocol
 was exercised only by running training, SURVEY.md section 4).
 """
@@ -89,6 +91,8 @@ def test_two_process_mesh_matches_single_process():
     pair = _run_pair()
     # both controllers computed the same global program
     assert pair[0] == pair[1], (pair, single)
+    # vs single-process: same math, different reduction order (f32) —
+    # rtol=2e-3 is the agreement bound, not bitwise identity
     for k in single:
         np.testing.assert_allclose(pair[0][k], single[k], rtol=2e-3,
                                    err_msg=f'{k}: {pair[0]} vs {single}')

@@ -94,3 +94,67 @@ def jax_leaves_sum(tree):
     import jax
     return sum(float(np.abs(np.asarray(x)).sum())
                for x in jax.tree.leaves(tree))
+
+
+def _tiny_trainer(exp_dir, n_itr, start_itr=0, resume=False, seed=0):
+    """Build a tiny MB-MPC pipeline writing snapshots to exp_dir."""
+    from learning_to_adapt_tpu.utils.checkpoint import resume_trainer
+    logger.configure(dir=exp_dir, format_strs=['csv'], snapshot_mode='last')
+    env = normalize(HalfCheetahEnv(task='cripple', reset_every_episode=True))
+    model = MLPDynamicsModel('dyn_model', env, hidden_sizes=(32,),
+                             batch_size=16, seed=seed)
+    policy = MPCController('policy', env, model, n_candidates=8, horizon=3)
+    sampler = Sampler(env=env, policy=policy, num_rollouts=2,
+                      max_path_length=30, seed=seed)
+    if resume:
+        start_itr = resume_trainer(exp_dir, model, sampler)
+    trainer = Trainer(env=env, policy=policy, dynamics_model=model,
+                      sampler=sampler,
+                      sample_processor=ModelSampleProcessor(recurrent=False),
+                      n_itr=n_itr, start_itr=start_itr,
+                      initial_random_samples=True,
+                      dynamics_model_max_epochs=3)
+    return trainer, model, sampler
+
+
+def test_resume_equivalence(tmp_path):
+    """train(4) == train(2) + resume(2): same dataset composition, same
+    sampler task/reset stream, same final parameters (VERDICT round-3 weak
+    #3 — a resumed run must not silently train on different data)."""
+    import jax
+    import pickle
+
+    # straight-through 4 iterations
+    dir_a = str(tmp_path / 'straight')
+    trainer_a, model_a, sampler_a = _tiny_trainer(dir_a, n_itr=4)
+    trainer_a.train()
+
+    # 2 iterations, then a fresh process-equivalent resume for 2 more
+    dir_b = str(tmp_path / 'resumed')
+    trainer_b1, _, _ = _tiny_trainer(dir_b, n_itr=2)
+    trainer_b1.train()
+    trainer_b2, model_b, sampler_b = _tiny_trainer(dir_b, n_itr=4,
+                                                   resume=True)
+    assert trainer_b2.start_itr == 2
+    trainer_b2.train()
+
+    # identical aggregated dataset composition (not just sizes)
+    for k in ('obs', 'act', 'delta'):
+        np.testing.assert_array_equal(model_a._train[k], model_b._train[k])
+        np.testing.assert_array_equal(model_a._test[k], model_b._test[k])
+    # identical sampler stream state
+    np.testing.assert_array_equal(np.asarray(sampler_a._key),
+                                  np.asarray(sampler_b._key))
+    assert sampler_a._episode_idx == sampler_b._episode_idx
+    assert (sampler_a.total_timesteps_sampled
+            == sampler_b.total_timesteps_sampled)
+    # identical final parameters (same ops in same order on one backend;
+    # tolerance covers any compile-cache nondeterminism)
+    for pa, pb in zip(jax.tree.leaves(model_a.params),
+                      jax.tree.leaves(model_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+    # the snapshot on disk carries data + sampler state for the NEXT resume
+    snap = pickle.load(open(os.path.join(dir_b, 'params.pkl'), 'rb'))
+    assert snap['sampler'] is not None
+    assert snap['dynamics_model'].get('train') is not None
