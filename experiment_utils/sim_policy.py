@@ -30,13 +30,20 @@ ENV_CLASSES = {c.__name__: c for c in
                 AntEnv, Arm7DofEnv)}
 
 
-def load_experiment(exp_dir):
+def load_experiment(exp_dir, env_override=None):
+    """Rebuild (env, model, policy) from a snapshot directory.
+
+    env_override: use this env instead of the snapshot's (the meta-test
+    protocol evaluates a trained model on a DIFFERENT task distribution,
+    e.g. the held-out Ant leg — benchmarks/meta_test.py)."""
     with open(os.path.join(exp_dir, 'params.json')) as f:
         config = json.load(f)
     with open(os.path.join(exp_dir, 'params.pkl'), 'rb') as f:
         snapshot = pickle.load(f)
 
-    if 'env' in snapshot:
+    if env_override is not None:
+        env = env_override
+    elif 'env' in snapshot:
         # newer snapshots carry the env object itself (Serializable
         # ctor-replay pickling — exact task/noise/frame_skip config)
         env = snapshot['env']
