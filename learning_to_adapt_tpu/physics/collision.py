@@ -72,16 +72,70 @@ def _hfield_surface(hf_pos, hf_size, hf_row, x, y):
     return z, n
 
 
+HF_WINDOW = 16  # polyline cells searched each side of the sphere center
+
+
 def hfield_sphere(hf_pos, hf_size, hf_row, c, r):
-    """Heightfield is geom1. Returns 1 contact (local surface-plane approx)."""
-    z, n = _hfield_surface(hf_pos, hf_size, hf_row, c[0], c[1])
-    s = jnp.stack([c[0], c[1], z])
-    dist = jnp.dot(n, c - s) - r
+    """Heightfield is geom1. Returns 1 contact.
+
+    Nearest-feature distance to the terrain's x-z POLYLINE (the profile is
+    constant along y for every task this env family generates, so the 2-D
+    cross-section is the exact surface — the y-constant analog of MuJoCo's
+    triangular-prism decomposition). A local surface-plane sample here
+    (the pre-round-4 approximation) measured penetration VERTICALLY, which
+    at step edges reported ~5x-too-deep contacts with vertical normals and
+    launched bodies off cliff rims (found by
+    tests/test_mujoco_crosscheck.py::TestTerrainStatistics — basin
+    displacement 0.375 vs MuJoCo 0.084); the polyline distance reproduces
+    MuJoCo's shallow angled rim contacts. Search window: +-HF_WINDOW cells
+    (+-3.2 m at the 0.2 m reference grid) around the center column —
+    far wider than any per-step penetration."""
+    ncol = hf_row.shape[0]
+    sx, sz = hf_size[0], hf_size[2]
+    dx_cell = 2 * sx / (ncol - 1)
+    u = (c[0] - hf_pos[0] + sx) / (2 * sx) * (ncol - 1)
+    i_c = jnp.floor(u).astype(jnp.int32)
+    w = 2 * HF_WINDOW + 1
+    start = jnp.clip(i_c - HF_WINDOW, 0, ncol - w)
+    zs = jax.lax.dynamic_slice_in_dim(hf_row, start, w) * sz + hf_pos[2]
+    xs = ((jnp.arange(w) + start) * dx_cell - sx + hf_pos[0]).astype(
+        zs.dtype)
+    p = jnp.stack([c[0], c[2]])
+    a = jnp.stack([xs[:-1], zs[:-1]], axis=1)            # (w-1, 2)
+    ab = jnp.stack([xs[1:], zs[1:]], axis=1) - a
+    t = jnp.clip(jnp.sum((p - a) * ab, axis=1)
+                 / jnp.maximum(jnp.sum(ab * ab, axis=1), 1e-12), 0.0, 1.0)
+    q = a + t[:, None] * ab                              # nearest per segment
+    d2 = jnp.sum(jnp.square(p - q), axis=1)
+    k = jnp.argmin(d2)
+    diff = p - q[k]
+    dist2d = jnp.sqrt(d2[k] + 1e-16)
+    z_surf, n_loc = _hfield_surface(hf_pos, hf_size, hf_row, c[0], c[1])
+    sign = jnp.where(c[2] < z_surf, -1.0, 1.0).astype(dist2d.dtype)
+    n2 = sign * diff / dist2d
+    # degenerate (center exactly on the surface): local cell normal
+    n2 = jnp.where(dist2d < 1e-9,
+                   jnp.stack([n_loc[0], n_loc[2]]), n2)
+    n = jnp.stack([n2[0], jnp.zeros_like(n2[0]), n2[1]])
+    dist = sign * dist2d - r
+    # depth cap at the center-on-surface configuration: MuJoCo's prism
+    # collider saturates hfield penetration at ~(r + eps) however deep the
+    # geom sinks (measured on the reference XML: r=0.046 -> -0.0498,
+    # r=0.1 -> -0.1038, invariant to burial depth and hfield base size).
+    # Without the cap, a foot spawned/stepping into a plateau reports
+    # multiple-radii depths and the soft-constraint solver launches the
+    # body — exactly the basin-rim launch TestTerrainStatistics caught.
+    dist = jnp.maximum(dist, -(r + 0.005))
     pos = c - n * (r + 0.5 * dist)
     return dist[None], pos[None], n[None]
 
 
 def hfield_capsule(hf_pos, hf_size, hf_row, cap_pos, cap_mat, r, hl):
+    """Capsule vs heightfield: endpoint-sphere samples against the terrain
+    polyline. (A 5-point core manifold was measured in round 4 and changed
+    ensemble statistics by <0.02 while tripling the constraint rows —
+    MuJoCo's wider prism manifold is not where the residual buried-contact
+    creep difference lives; docs/PARITY.md round-4 notes.)"""
     axis = cap_mat[:, 2]
     e1 = cap_pos + axis * hl
     e2 = cap_pos - axis * hl

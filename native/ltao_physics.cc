@@ -499,23 +499,59 @@ void plane_sphere(const Vec3& ppos, const Mat3& pmat, const Vec3& c, double r,
   out->normal = n;
 }
 
+// mirrors collision.py hfield_sphere (round 4): nearest-feature distance
+// to the terrain's x-z polyline within a +-HF_WINDOW cell window, with the
+// penetration depth capped at the center-on-surface configuration
+// (MuJoCo's prism collider saturates hfield depth at ~(r + eps) however
+// deep the geom sinks — measured on the reference XML).
+static const long HF_WINDOW = 16;
+
 void hfield_sphere(const Vec3& hpos, const double* hsize, const double* hrow,
                    long ncol, const Vec3& c, double r, Contact* out) {
   double sx = hsize[0], sz = hsize[2];
+  double dx_cell = 2 * sx / (ncol - 1);
   double u = (c.x - hpos.x + sx) / (2 * sx) * (ncol - 1);
-  u = std::min(std::max(u, 0.0), ncol - 1.000001);
-  long i0 = (long)std::floor(u);
-  double frac = u - i0;
+  long i_c = (long)std::floor(u);
+  long w = 2 * HF_WINDOW + 1;
+  long start = std::min(std::max(i_c - HF_WINDOW, 0L), ncol - w);
+  // local surface sample (sign test + degenerate-normal fallback),
+  // matching collision.py _hfield_surface exactly
+  double ucl = std::min(std::max(u, 0.0), ncol - 1.000001);
+  long i0 = (long)std::floor(ucl);
+  double frac = ucl - i0;
   double h0 = hrow[i0];
   double h1 = hrow[std::min(i0 + 1, ncol - 1)];
-  double z = hpos.z + (h0 + (h1 - h0) * frac) * sz;
-  double dx_cell = 2 * sx / (ncol - 1);
+  double z_surf = hpos.z + (h0 + (h1 - h0) * frac) * sz;
   double slope = (h1 - h0) * sz / dx_cell;
-  Vec3 n{-slope, 0.0, 1.0};
-  n = n * (1.0 / n.norm());
-  Vec3 s{c.x, c.y, z};
-  out->dist = n.dot(c - s) - r;
-  out->pos = c - n * (r + 0.5 * out->dist);
+  double nl_x = -slope, nl_z = 1.0;
+  double nl_norm = std::sqrt(nl_x * nl_x + nl_z * nl_z);
+  nl_x /= nl_norm; nl_z /= nl_norm;
+
+  double px = c.x, pz = c.z;
+  double best_d2 = 1e300, qx = 0.0, qz = 0.0;
+  for (long k = 0; k < w - 1; ++k) {
+    double ax = (start + k) * dx_cell - sx + hpos.x;
+    double az = hrow[start + k] * sz + hpos.z;
+    double bx = ax + dx_cell;
+    double bz = hrow[start + k + 1] * sz + hpos.z;
+    double abx = bx - ax, abz = bz - az;
+    double t = ((px - ax) * abx + (pz - az) * abz) /
+               std::max(abx * abx + abz * abz, 1e-12);
+    t = std::min(std::max(t, 0.0), 1.0);
+    double cx_ = ax + t * abx, cz_ = az + t * abz;
+    double d2 = (px - cx_) * (px - cx_) + (pz - cz_) * (pz - cz_);
+    if (d2 < best_d2) { best_d2 = d2; qx = cx_; qz = cz_; }
+  }
+  double dist2d = std::sqrt(best_d2 + 1e-16);
+  double sign = (c.z < z_surf) ? -1.0 : 1.0;
+  double n2x = sign * (px - qx) / dist2d;
+  double n2z = sign * (pz - qz) / dist2d;
+  if (dist2d < 1e-9) { n2x = nl_x; n2z = nl_z; }
+  Vec3 n{n2x, 0.0, n2z};
+  double dist = sign * dist2d - r;
+  dist = std::max(dist, -(r + 0.005));
+  out->dist = dist;
+  out->pos = c - n * (r + 0.5 * dist);
   out->normal = n;
 }
 

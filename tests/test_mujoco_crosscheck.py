@@ -383,3 +383,130 @@ class TestHField:
         # identical but triangulation details differ -> statistical bound
         np.testing.assert_allclose(np.asarray(s.qpos[:3]), d.qpos[:3],
                                    atol=5e-3)
+
+class TestTerrainStatistics:
+    """Chaos-proof validation of the cliff-edge terrains — basin, steep,
+    and random 'hfield' (the hfield env's DEFAULT training distribution,
+    half_cheetah_hfield_env.py:76-102) — which diverge per-trajectory at
+    the first rim-contact event and so are excluded from
+    TestRealTerrain's step-for-step comparison.
+
+    Protocol (VERDICT round-3 next-step #6): the identical terrain, initial
+    states, and ctrl streams run in both engines; agreement is asserted on
+    seed-ensemble STATISTICS (final forward displacement, contact-event
+    activity) rather than trajectories, plus a MuJoCo-anchored bound on the
+    worst single-step total-energy injection at kink impacts (soft-contact
+    stabilization injects bounded energy in both engines; ours must not
+    inject materially more than MuJoCo's on the same terrain)."""
+
+    N_SEEDS = 12
+    T = 80
+
+    def _run_pair(self, task, key=0):
+        from learning_to_adapt_tpu.envs.half_cheetah import (
+            HalfCheetahHFieldEnv)
+        from learning_to_adapt_tpu.physics import maths
+
+        env = HalfCheetahHFieldEnv(task=task)
+        model = env.model
+        mm = jax.tree.map(lambda x: jnp.asarray(np.asarray(x, np.float64)),
+                          default_mutable(model, np.float64))
+        mm, _ = env.sample_task(jax.random.PRNGKey(key), mm, None)
+        row = np.asarray(mm.hfield_row, np.float64)
+        size = np.asarray(mm.hfield_size, np.float64)
+
+        mj = _mj_model('half_cheetah_hfield')
+        nrow = int(mj.hfield_nrow[0])
+        mj.hfield_size[0] = size
+        mj.hfield_data[:] = np.tile(row, nrow)
+
+        @jax.jit
+        def step_stats(state, ctrl):
+            nstate = engine.step(model, mm, state, ctrl)
+            xpos, xquat, _ = engine._fk(model, mm, nstate.qpos)
+            ximat = maths.quat_to_mat(xquat)
+            gpos, gmat = engine._geom_frames(model, mm, xpos, ximat)
+            dist, _, _, _, cmeta = engine._contacts(model, mm, gpos, gmat)
+            margin = jnp.asarray(cmeta['margin'], dist.dtype)
+            ncon = jnp.sum(dist < margin)
+            pot, kin = engine.energy(model, mm, nstate)
+            return nstate, ncon, pot + kin
+
+        ours = dict(disp=[], confrac=[], ejump=[])
+        theirs = dict(disp=[], confrac=[], ejump=[])
+        for seed in range(self.N_SEEDS):
+            rng = np.random.RandomState(1000 + seed)
+            qpos = np.array(model.qpos0, np.float64) + rng.uniform(
+                -0.01, 0.01, model.nq)
+            qvel = rng.uniform(-0.1, 0.1, model.nv)
+            ctrls = rng.uniform(-0.3, 0.3, (self.T, model.nu))
+
+            # ours
+            s = PhysicsState(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+            pot0, kin0 = engine.energy(model, mm, s)
+            e_prev = float(pot0 + kin0)
+            ncons, ejumps = [], []
+            for t in range(self.T):
+                s, ncon, e = step_stats(s, jnp.asarray(ctrls[t]))
+                ncons.append(int(ncon))
+                ejumps.append(float(e) - e_prev)
+                e_prev = float(e)
+            ours['disp'].append(float(s.qpos[0]) - qpos[0])
+            ours['confrac'].append(np.mean(np.asarray(ncons) > 0))
+            ours['ejump'].append(max(ejumps))
+
+            # mujoco
+            d = mujoco.MjData(mj)
+            d.qpos[:] = qpos
+            d.qvel[:] = qvel
+            mujoco.mj_energyPos(mj, d)
+            mujoco.mj_energyVel(mj, d)
+            e_prev = float(d.energy[0] + d.energy[1])
+            ncons, ejumps = [], []
+            for t in range(self.T):
+                d.ctrl[:] = ctrls[t]
+                mujoco.mj_step(mj, d)
+                mujoco.mj_energyPos(mj, d)
+                mujoco.mj_energyVel(mj, d)
+                e = float(d.energy[0] + d.energy[1])
+                ncons.append(int(d.ncon))
+                ejumps.append(e - e_prev)
+                e_prev = e
+            theirs['disp'].append(float(d.qpos[0]) - qpos[0])
+            theirs['confrac'].append(np.mean(np.asarray(ncons) > 0))
+            theirs['ejump'].append(max(ejumps))
+        return {k: np.asarray(v) for k, v in ours.items()}, \
+               {k: np.asarray(v) for k, v in theirs.items()}
+
+    @pytest.mark.parametrize('task', ['basin', 'steep', 'hfield'])
+    def test_terrain_ensemble_statistics(self, task):
+        ours, mj = self._run_pair(task)
+        n = self.N_SEEDS
+
+        # forward-displacement distribution: means within the calibrated
+        # residual bound. The round-4 polyline+depth-cap collider fix took
+        # the basin gap from 0.29 (rim-launch regime) to <=0.10; what
+        # remains is buried-spawn friction creep (MuJoCo drifts ~+0.087
+        # terrain-independently while its feet stay saturated-depth buried;
+        # ours partially ejects and creeps with the local slope — measured
+        # 0.08-0.14, docs/PARITY.md round-4 notes). 0.2 is the regression
+        # bound: the pre-fix launch regime sat at 0.29+.
+        sem = np.sqrt(ours['disp'].var() / n + mj['disp'].var() / n)
+        gap = abs(ours['disp'].mean() - mj['disp'].mean())
+        assert gap < max(3.0 * sem + 0.05, 0.2), (
+            f'{task}: displacement means {ours["disp"].mean():.3f} vs '
+            f'{mj["disp"].mean():.3f} (gap {gap:.3f})')
+
+        # contact-event activity: fraction of steps with >=1 active contact
+        cgap = abs(ours['confrac'].mean() - mj['confrac'].mean())
+        assert cgap < 0.10, (
+            f'{task}: contact-active step fraction {ours["confrac"].mean():.3f} '
+            f'vs {mj["confrac"].mean():.3f}')
+
+        # energy injection at impacts: our worst single-step total-energy
+        # jump must not materially exceed MuJoCo's on the same terrain
+        ours_max = ours['ejump'].max()
+        mj_max = mj['ejump'].max()
+        assert ours_max < max(1.5 * mj_max, mj_max + 2.0), (
+            f'{task}: max step energy jump {ours_max:.2f} vs MuJoCo '
+            f'{mj_max:.2f}')
