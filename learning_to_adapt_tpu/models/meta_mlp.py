@@ -268,15 +268,17 @@ class MetaMLPDynamicsModel:
             # sharded meta-learner: path-major train/valid arrays sharded
             # over the mesh 'env' axis (paths ARE env episodes), params
             # replicated; GSPMD inserts the gradient psums.
-            # Known cost (documented, measured acceptable at these dataset
-            # sizes): sample_windows indexes paths with GLOBAL random ids
-            # (a[pidx]), so GSPMD all-gathers the operand per train step —
-            # HBM-resident sharding, replicated compute, not data-parallel
-            # FLOP scaling. The window sampler needs global indices for
+            # Lowering (asserted structurally in TestScalingStructure::
+            # test_meta_epoch_on_mesh_structure): the GLOBAL random window
+            # indices (a[pidx]) lower to masked LOCAL gathers + all-reduce
+            # — only the sampled windows (meta_bs x window x dim) cross
+            # the interconnect per train step; the dataset stays sharded
+            # in HBM (no all-gather). Compute on the assembled windows is
+            # replicated across the mesh: global indices are required for
             # numerics parity with the single-device program (the
-            # sharded==single fit test); restricting pidx to local shards
-            # (shard_map) would change batch composition. The plain-MLP
-            # epoch is the true DP path (mlp.py; TestScalingStructure).
+            # sharded==single fit test), so the meta fit scales HBM
+            # capacity, not FLOPs. The plain-MLP epoch is the true DP
+            # path (mlp.py; TestScalingStructure).
             from learning_to_adapt_tpu.parallel import mesh as par_mesh
             fn = par_mesh.jit_epoch_sharded(self.mesh, epoch_fn, 8, {3, 4})
         else:

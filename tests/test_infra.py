@@ -402,3 +402,64 @@ class TestScalingStructure:
             assert 'all-reduce' in fit_text, (
                 'sharded fit epoch lowered with no all-reduce — gradients '
                 'are not being reduced over the mesh')
+
+    def test_meta_epoch_on_mesh_structure(self):
+        """Documents (structurally) how the sharded GrBAL meta epoch
+        lowers: all-reduce present (gradient/window-assembly reductions)
+        and — the important property — NO all-gather: GSPMD implements the
+        global random window indexing as masked LOCAL gathers combined by
+        all-reduce, so only the sampled windows (meta_bs x window x dim)
+        cross the interconnect per train step and the dataset stays
+        sharded in HBM. Compute on the assembled windows is replicated
+        across the mesh (global indices are required for numerics parity
+        with the single-device program — models/meta_mlp.py mesh branch),
+        so the meta fit is HBM-capacity scaling, not FLOP scaling. If the
+        all-gather assertion starts failing, the dataset is being
+        materialized on every device — a memory-scaling regression."""
+        import numpy as np
+        from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize
+        from learning_to_adapt_tpu.models import MetaMLPDynamicsModel
+        from learning_to_adapt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_env=8, n_model=1)
+        env = normalize(HalfCheetahEnv(task=None))
+        model = MetaMLPDynamicsModel('dyn', env, hidden_sizes=(32,),
+                                     meta_batch_size=4, batch_size=8)
+        model.mesh = mesh
+        rng = np.random.RandomState(0)
+        obs = rng.randn(8, 40, 20).astype(np.float32)
+        act = rng.randn(8, 40, 6).astype(np.float32)
+        nxt = obs + 0.01 * rng.randn(8, 40, 20).astype(np.float32)
+        with mesh:
+            model.fit(obs, act, nxt, epochs=1)
+            (epoch_fn,) = model._epoch_cache.values()
+            from learning_to_adapt_tpu.models.meta_mlp import PATH_CHUNK
+            from learning_to_adapt_tpu.parallel.mesh import (
+                stage_fit_data, stage_model_state)
+            stage_model_state(model)
+
+            def pad(d, cap, count):
+                out = []
+                for k in ('obs', 'act', 'delta'):
+                    a = d[k]
+                    p = np.zeros((cap,) + a.shape[1:], a.dtype)
+                    p[:count] = a
+                    out.append(p)
+                return tuple(out)
+
+            p_tr = model._train['obs'].shape[0]
+            p_te = model._test['obs'].shape[0]
+            tr_dev, te_dev = stage_fit_data(
+                model, pad(model._train, PATH_CHUNK, p_tr),
+                pad(model._test, PATH_CHUNK, p_te))
+            text = self._compiled_text(
+                epoch_fn, model.params, model.opt_state, model.normalizer,
+                tr_dev, te_dev, jnp.asarray(p_tr), jnp.asarray(p_te),
+                jax.random.PRNGKey(0))
+        assert 'all-reduce' in text, (
+            'sharded meta epoch lowered with no all-reduce — meta-gradients '
+            'are not reduced over the mesh')
+        assert 'all-gather' not in text, (
+            'sharded meta epoch lowered WITH an all-gather — the dataset '
+            'is being materialized per device instead of staying sharded '
+            '(window assembly should be masked local gathers + all-reduce)')
