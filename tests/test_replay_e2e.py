@@ -158,3 +158,56 @@ def test_resume_equivalence(tmp_path):
     snap = pickle.load(open(os.path.join(dir_b, 'params.pkl'), 'rb'))
     assert snap['sampler'] is not None
     assert snap['dynamics_model'].get('train') is not None
+
+
+def test_meta_test_pipeline_on_holdout(tmp_path):
+    """The complete meta-test path on CPU: train a tiny GrBAL on a cheetah
+    cripple distribution with actuator 4 held out, snapshot, rebuild the
+    env on the HELD-OUT set via load_experiment(env_override=...), and
+    roll out adapted vs pre-update (benchmarks/meta_test.py's protocol,
+    VERDICT round-3 next-step #1)."""
+    import json
+
+    from learning_to_adapt_tpu.models import MetaMLPDynamicsModel
+    from learning_to_adapt_tpu.utils.serializable import Serializable
+
+    exp_dir = str(tmp_path / 'exp')
+    logger.configure(dir=exp_dir, format_strs=['csv'], snapshot_mode='last')
+    config = dict(n_candidates=8, horizon=3, meta_batch_size=4,
+                  inner_learning_rate=0.001, adapt_batch_size=4,
+                  hidden_sizes_model=[32], discount=1.0, use_cem=False,
+                  task='cripple')
+    with open(os.path.join(exp_dir, 'params.json'), 'w') as f:
+        json.dump(config, f)
+
+    env = normalize(HalfCheetahEnv(task='cripple', reset_every_episode=True,
+                                   cripple_set=(1, 2, 3, 5)))
+    model = MetaMLPDynamicsModel('dyn_model', env, hidden_sizes=(32,),
+                                 meta_batch_size=4, batch_size=4)
+    policy = MPCController('policy', env, model, n_candidates=8, horizon=3)
+    sampler = Sampler(env=env, policy=policy, num_rollouts=2,
+                      max_path_length=24, adapt_batch_size=4)
+    trainer = Trainer(env=env, policy=policy, dynamics_model=model,
+                      sampler=sampler,
+                      sample_processor=ModelSampleProcessor(recurrent=True),
+                      n_itr=2, initial_random_samples=True,
+                      dynamics_model_max_epochs=2)
+    trainer.train()
+
+    sim_policy = _load_module('experiment_utils/sim_policy.py', 'sim_policy')
+    # rebuild on the held-out actuator — the meta-test env
+    env1, _, _, _, _ = sim_policy.load_experiment(exp_dir)
+    base = env1.wrapped_env
+    assert base.cripple_set == (1, 2, 3, 5)
+    from learning_to_adapt_tpu.envs import normalize as norm_fn
+    eval_env = norm_fn(Serializable.clone(base, cripple_set=(4,)))
+    env2, model2, policy2, cfg2, adapt_bs = sim_policy.load_experiment(
+        exp_dir, env_override=eval_env)
+    assert env2.wrapped_env.cripple_set == (4,)
+    assert adapt_bs == 4
+    for bs in (adapt_bs, None):  # adapted vs pre-update
+        paths = sim_policy.rollout(env2, policy2, model2,
+                                   max_path_length=16, num_rollouts=2,
+                                   adapt_batch_size=bs, seed=0)
+        assert paths['rewards'].shape == (2, 16)
+        assert np.isfinite(paths['rewards']).all()
