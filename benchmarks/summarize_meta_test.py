@@ -16,7 +16,10 @@ def main(pattern='results/meta_test_*.json'):
     rows = []
     gaps = []
     for f in sorted(glob.glob(pattern)):
-        if 'smoke' in f:
+        if 'smoke' in f or '_sweeps' in f:
+            # _sweeps files are preserved pass-1 copies of snapshots that
+            # were re-evaluated with more seeds — counting both would
+            # double-weight those snapshots
             continue
         d = json.load(open(f))
         tag = f.split('meta_test_')[1][:-5]
