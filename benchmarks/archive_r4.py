@@ -40,10 +40,18 @@ RUNS = [
      'MB-MPC Blocks s1', '#8d6cdc'),
     ('data/rebal/ant_cripple_r4_s1', 'rebal_ant_cripple_tpu_r4_seed1',
      'ReBAL Ant-cripple s1', '#b8860b'),
+    # third ant seeds (post-campaign batch)
+    ('data/grbal/ant_cripple_r4_s2', 'grbal_ant_cripple_tpu_r4_seed2',
+     'GrBAL Ant-cripple s2', '#174e8c'),
+    ('data/mb_mpc/ant_cripple_r4_s2', 'mb_mpc_ant_cripple_tpu_r4_seed2',
+     'MB-MPC Ant-cripple s2', '#a34418'),
+    ('data/rebal/ant_cripple_r4_s2', 'rebal_ant_cripple_tpu_r4_seed2',
+     'ReBAL Ant-cripple s2', '#8a6508'),
 ]
 
 PLOT = {'GrBAL Ant-cripple s0', 'GrBAL Ant-cripple s1',
-        'MB-MPC Ant-cripple s0', 'MB-MPC Ant-cripple s1'}
+        'GrBAL Ant-cripple s2', 'MB-MPC Ant-cripple s0',
+        'MB-MPC Ant-cripple s1', 'MB-MPC Ant-cripple s2'}
 
 
 def load_curve(csv_path):
