@@ -132,7 +132,13 @@ def main():
                 eval_mode(env, policy, model, f'adapted_window{w}', w, seeds,
                           args.num_rollouts, args.max_path_length, results)
     else:
-        eval_mode(env, policy, model, 'mb_mpc', None, seeds,
+        # non-GrBAL snapshots: MB-MPC is truly non-adaptive; ReBAL's
+        # recurrent hidden state IS its adaptation mechanism and is
+        # always-on inside the rollout — label accordingly
+        from learning_to_adapt_tpu.models.rnn import RNNDynamicsModel
+        label = ('rebal' if isinstance(model, RNNDynamicsModel)
+                 else 'mb_mpc')
+        eval_mode(env, policy, model, label, None, seeds,
                   args.num_rollouts, args.max_path_length, results)
 
     tag = args.tag or os.path.basename(os.path.normpath(args.exp_dir))
