@@ -66,9 +66,13 @@ def eval_mode(env, policy, model, label, adapt_bs, seeds, num_rollouts,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('exp_dir', type=str)
-    p.add_argument('--eval_set', type=str, required=True,
+    p.add_argument('--eval_set', type=str, default=None,
                    help='comma-separated held-out leg/actuator ids, '
-                        'e.g. "3" for the Ant meta-test leg')
+                        'e.g. "3" for the Ant meta-test leg; omit to '
+                        'evaluate on the snapshot\'s own task '
+                        'distribution (fixed-protocol evaluator mode — '
+                        'e.g. 1000-step cross-algorithm comparisons of '
+                        'nominal snapshots)')
     p.add_argument('--tag', type=str, default=None)
     p.add_argument('--seeds', type=str, default='0,1,2')
     p.add_argument('--num_rollouts', type=int, default=5)
@@ -81,26 +85,37 @@ def main():
                         'lengths to sweep')
     args = p.parse_args()
 
-    eval_set = tuple(int(x) for x in args.eval_set.split(','))
     seeds = [int(s) for s in args.seeds.split(',')]
 
-    # rebuild the snapshot's env with the HELD-OUT task distribution
-    env_train, _, _, config, _ = load_experiment(args.exp_dir)
-    base = env_train.wrapped_env
-    assert base.task == 'cripple', (
-        f'meta-test protocol is for cripple tasks, snapshot has {base.task}')
-    train_set = tuple(base.cripple_set)
-    overlap = set(train_set) & set(eval_set)
-    if overlap:
-        print(f'WARNING: eval set {eval_set} overlaps train distribution '
-              f'{train_set} ({sorted(overlap)}) — not a holdout evaluation',
-              flush=True)
-    eval_env = normalize(Serializable.clone(base, cripple_set=eval_set))
-    env, model, policy, config, adapt_bs = load_experiment(
-        args.exp_dir, env_override=eval_env)
-    print(f'{args.exp_dir}: trained on cripple_set={train_set}, '
-          f'evaluating on held-out {eval_set} '
-          f'({"GrBAL" if adapt_bs else "non-adaptive"})', flush=True)
+    if args.eval_set is not None:
+        eval_set = tuple(int(x) for x in args.eval_set.split(','))
+        # rebuild the snapshot's env with the HELD-OUT task distribution
+        env_train, _, _, config, _ = load_experiment(args.exp_dir)
+        base = env_train.wrapped_env
+        assert base.task == 'cripple', (
+            f'meta-test protocol is for cripple tasks, snapshot has '
+            f'{base.task}')
+        train_set = tuple(base.cripple_set)
+        overlap = set(train_set) & set(eval_set)
+        if overlap:
+            print(f'WARNING: eval set {eval_set} overlaps train '
+                  f'distribution {train_set} ({sorted(overlap)}) — not a '
+                  'holdout evaluation', flush=True)
+        eval_env = normalize(Serializable.clone(base, cripple_set=eval_set))
+        env, model, policy, config, adapt_bs = load_experiment(
+            args.exp_dir, env_override=eval_env)
+        print(f'{args.exp_dir}: trained on cripple_set={train_set}, '
+              f'evaluating on held-out {eval_set} '
+              f'({"GrBAL" if adapt_bs else "non-adaptive"})', flush=True)
+    else:
+        # fixed-protocol evaluator: the snapshot's own task distribution
+        env, model, policy, config, adapt_bs = load_experiment(args.exp_dir)
+        train_set = eval_set = (tuple(env.wrapped_env.cripple_set)
+                                if env.wrapped_env.task == 'cripple'
+                                else env.wrapped_env.task)
+        print(f'{args.exp_dir}: evaluating on its own task distribution '
+              f'({env.wrapped_env.task}), '
+              f'({"GrBAL" if adapt_bs else "non-adaptive"})', flush=True)
 
     results = dict(exp_dir=args.exp_dir, train_set=train_set,
                    eval_set=eval_set, seeds=seeds,
