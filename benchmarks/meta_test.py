@@ -3,29 +3,41 @@ actually performs (arXiv:1803.11347 sec. 5; reference ant_env.py:105-106
 reserves Ant leg 3 for meta-test and the train distribution never samples
 it).
 
-Loads a snapshot trained on the train task distribution (Ant legs 0-2, or
-a cheetah cripple_set with one actuator held out) and evaluates it on the
-held-out task(s), comparing:
+Loads a snapshot trained on the train task distribution and evaluates it
+on held-out task(s), comparing:
 
   adapted     GrBAL with the online fast-adaptation loop (per-step inner
               gradient step on the trailing window — the paper's mechanism)
   pre-update  the same meta-trained model with adaptation DISABLED
               (pre-update parameters throughout)
-  (MB-MPC snapshots evaluate as a single non-adaptive mode)
+  (MB-MPC snapshots evaluate as a single non-adaptive mode; ReBAL
+  snapshots evaluate the recurrent mechanism plus its ablations —
+  'rebal_hidden_zero' plans from the initial hidden state every step and
+  'rebal_hidden_frozen' stops the hidden update after a 16-step warmup,
+  the recurrent analog of the adapted/pre-update split)
+
+Holdout kinds supported by --eval_set (dispatch on the snapshot's task):
+  cripple   comma-separated held-out leg/actuator ids, e.g. "3"
+            (discrete tasks: Ant leg-3, cheetah leave-one-out actuators)
+  terrain   comma-separated named terrain variants, e.g. "steep,basin"
+            (continuous tasks: hfield snapshot trained with
+            --terrain_set gentle,hill; reference
+            half_cheetah_hfield_env.py:76-166)
+  damping   a "lo:hi" range, e.g. "12:20" (continuous tasks: blocks
+            snapshot trained on the reference's U(0,10) damping draw,
+            half_cheetah_blocks_env.py:72-84; eval extrapolates the range)
 
 Optional sensitivity sweep: --inner_lrs / --windows re-run the adapted mode
 with eval-time inner learning rates / adaptation window lengths (the
-meta-prior is fixed; only the fast-update strength changes — VERDICT
-round-3 next-step #1's fallback analysis).
+meta-prior is fixed; only the fast-update strength changes).
 
 Usage (TPU, after training the holdout runs):
     python benchmarks/meta_test.py data/grbal/ant_cripple_r4_s0 \
         --eval_set 3 --tag ant_leg3_grbal_s0
-    python benchmarks/meta_test.py data/mb_mpc/ant_cripple_r4_s0 \
-        --eval_set 3 --tag ant_leg3_mbmpc_s0
-    python benchmarks/meta_test.py data/grbal/cheetah_holdout_r4_s0 \
-        --eval_set 4 --tag cheetah_act4_grbal_s0 \
-        --inner_lrs 0.001,0.01,0.1 --windows 8,16,32
+    python benchmarks/meta_test.py data/grbal/hfield_holdout_r5_s0 \
+        --eval_set steep --tag hfield_steep_grbal_s0
+    python benchmarks/meta_test.py data/grbal/blocks_r5_s0 \
+        --eval_set 12:20 --tag blocks_ood_grbal_s0
 """
 import argparse
 import json
@@ -37,19 +49,23 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
 
-from experiment_utils.sim_policy import load_experiment, rollout  # noqa: E402
-from learning_to_adapt_tpu.envs import normalize  # noqa: E402
+from experiment_utils.sim_policy import (  # noqa: E402
+    build_policy, load_experiment, rollout)
+from learning_to_adapt_tpu.envs import (  # noqa: E402
+    HalfCheetahBlocksEnv, HalfCheetahHFieldEnv, normalize)
 from learning_to_adapt_tpu.utils.serializable import Serializable  # noqa: E402
+
+TERRAINS = HalfCheetahHFieldEnv.NAMED_TERRAINS
 
 
 def eval_mode(env, policy, model, label, adapt_bs, seeds, num_rollouts,
-              max_path_length, results):
+              max_path_length, results, ablate_hidden=None):
     rets = []
     per_seed = []
     for seed in seeds:
         paths = rollout(env, policy, model, max_path_length=max_path_length,
                         num_rollouts=num_rollouts, adapt_batch_size=adapt_bs,
-                        seed=seed)
+                        seed=seed, ablate_hidden=ablate_hidden)
         r = paths['rewards'].sum(axis=1)
         per_seed.append(float(r.mean()))
         rets.extend(r.tolist())
@@ -63,16 +79,65 @@ def eval_mode(env, policy, model, label, adapt_bs, seeds, num_rollouts,
     return rets
 
 
+def gap_stats(a, b):
+    """Difference-of-means with pooled SEM."""
+    return dict(mean=float(a.mean() - b.mean()),
+                sem=float(np.sqrt(a.var() / a.size + b.var() / b.size)))
+
+
+def resolve_eval_env(base, eval_spec):
+    """Clone the train env onto the held-out task distribution.
+
+    Dispatches on the eval_spec syntax + snapshot task kind; returns
+    (eval_env, train_set, eval_set)."""
+    toks = [t.strip() for t in eval_spec.split(',')]
+    if all(t in TERRAINS for t in toks):
+        assert isinstance(base, HalfCheetahHFieldEnv), \
+            f'terrain eval set on a {type(base).__name__} snapshot'
+        train_set = tuple(base.terrain_set or (base.task,))
+        eval_set = tuple(toks)
+        overlap = set(train_set) & set(eval_set)
+        if overlap:
+            print(f'WARNING: eval terrains {eval_set} overlap train '
+                  f'distribution {train_set} ({sorted(overlap)}) — not a '
+                  'holdout evaluation', flush=True)
+        eval_env = normalize(Serializable.clone(base, terrain_set=eval_set))
+    elif len(toks) == 1 and ':' in toks[0]:
+        assert isinstance(base, HalfCheetahBlocksEnv), \
+            f'damping-range eval set on a {type(base).__name__} snapshot'
+        lo, hi = (float(x) for x in toks[0].split(':'))
+        train_set = tuple(base.damping_range)
+        eval_set = (lo, hi)
+        if lo < train_set[1] and hi > train_set[0]:
+            print(f'WARNING: eval damping range {eval_set} overlaps train '
+                  f'range {train_set} — not a holdout evaluation',
+                  flush=True)
+        eval_env = normalize(Serializable.clone(base,
+                                                damping_range=(lo, hi)))
+    else:
+        assert base.task == 'cripple', (
+            f'integer eval sets are the cripple-task protocol, snapshot '
+            f'has task={base.task}')
+        eval_set = tuple(int(x) for x in toks)
+        train_set = tuple(base.cripple_set)
+        overlap = set(train_set) & set(eval_set)
+        if overlap:
+            print(f'WARNING: eval set {eval_set} overlaps train '
+                  f'distribution {train_set} ({sorted(overlap)}) — not a '
+                  'holdout evaluation', flush=True)
+        eval_env = normalize(Serializable.clone(base, cripple_set=eval_set))
+    return eval_env, train_set, eval_set
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('exp_dir', type=str)
     p.add_argument('--eval_set', type=str, default=None,
-                   help='comma-separated held-out leg/actuator ids, '
-                        'e.g. "3" for the Ant meta-test leg; omit to '
-                        'evaluate on the snapshot\'s own task '
-                        'distribution (fixed-protocol evaluator mode — '
-                        'e.g. 1000-step cross-algorithm comparisons of '
-                        'nominal snapshots)')
+                   help='held-out task spec (see module docstring): '
+                        'cripple ids "3", terrain names "steep,basin", or '
+                        'damping range "12:20"; omit to evaluate on the '
+                        'snapshot\'s own task distribution '
+                        '(fixed-protocol evaluator mode)')
     p.add_argument('--tag', type=str, default=None)
     p.add_argument('--seeds', type=str, default='0,1,2')
     p.add_argument('--num_rollouts', type=int, default=5)
@@ -83,39 +148,35 @@ def main():
     p.add_argument('--windows', type=str, default=None,
                    help='comma-separated eval-time adaptation window '
                         'lengths to sweep')
+    p.add_argument('--skip_ablations', action='store_true',
+                   help='for recurrent snapshots, evaluate only the full '
+                        'recurrent mode (no hidden-state ablations)')
     args = p.parse_args()
 
     seeds = [int(s) for s in args.seeds.split(',')]
 
+    # ONE snapshot load; the eval env (if any) rebinds model + policy
+    # without re-unpickling (advisor round-4 finding)
+    env, model, policy, config, adapt_bs = load_experiment(args.exp_dir)
+    base = env.wrapped_env
     if args.eval_set is not None:
-        eval_set = tuple(int(x) for x in args.eval_set.split(','))
-        # rebuild the snapshot's env with the HELD-OUT task distribution
-        env_train, _, _, config, _ = load_experiment(args.exp_dir)
-        base = env_train.wrapped_env
-        assert base.task == 'cripple', (
-            f'meta-test protocol is for cripple tasks, snapshot has '
-            f'{base.task}')
-        train_set = tuple(base.cripple_set)
-        overlap = set(train_set) & set(eval_set)
-        if overlap:
-            print(f'WARNING: eval set {eval_set} overlaps train '
-                  f'distribution {train_set} ({sorted(overlap)}) — not a '
-                  'holdout evaluation', flush=True)
-        eval_env = normalize(Serializable.clone(base, cripple_set=eval_set))
-        env, model, policy, config, adapt_bs = load_experiment(
-            args.exp_dir, env_override=eval_env)
-        print(f'{args.exp_dir}: trained on cripple_set={train_set}, '
-              f'evaluating on held-out {eval_set} '
-              f'({"GrBAL" if adapt_bs else "non-adaptive"})', flush=True)
+        env, train_set, eval_set = resolve_eval_env(base, args.eval_set)
+        policy = build_policy(env, model, config)
+        print(f'{args.exp_dir}: trained on {train_set}, evaluating on '
+              f'held-out {eval_set} '
+              f'({"GrBAL" if adapt_bs else "non-adaptive/recurrent"})',
+              flush=True)
     else:
-        # fixed-protocol evaluator: the snapshot's own task distribution
-        env, model, policy, config, adapt_bs = load_experiment(args.exp_dir)
-        train_set = eval_set = (tuple(env.wrapped_env.cripple_set)
-                                if env.wrapped_env.task == 'cripple'
-                                else env.wrapped_env.task)
+        if base.task == 'cripple':
+            train_set = eval_set = tuple(base.cripple_set)
+        elif getattr(base, 'terrain_set', None):
+            train_set = eval_set = tuple(base.terrain_set)
+        else:
+            train_set = eval_set = base.task
         print(f'{args.exp_dir}: evaluating on its own task distribution '
-              f'({env.wrapped_env.task}), '
-              f'({"GrBAL" if adapt_bs else "non-adaptive"})', flush=True)
+              f'({base.task}), '
+              f'({"GrBAL" if adapt_bs else "non-adaptive/recurrent"})',
+              flush=True)
 
     results = dict(exp_dir=args.exp_dir, train_set=train_set,
                    eval_set=eval_set, seeds=seeds,
@@ -126,13 +187,10 @@ def main():
                             args.num_rollouts, args.max_path_length, results)
         pre = eval_mode(env, policy, model, 'pre-update', None, seeds,
                         args.num_rollouts, args.max_path_length, results)
-        gap = adapted.mean() - pre.mean()
-        # pooled SEM of the difference of means
-        sem = float(np.sqrt(adapted.var() / adapted.size +
-                            pre.var() / pre.size))
-        results['gap'] = dict(mean=float(gap), sem=sem)
-        print(f'online-adaptation gap on held-out dynamics: {gap:+.1f} '
-              f'+- {sem:.1f} (adapted - pre-update)', flush=True)
+        results['gap'] = gap_stats(adapted, pre)
+        print(f'online-adaptation gap on held-out dynamics: '
+              f'{results["gap"]["mean"]:+.1f} +- {results["gap"]["sem"]:.1f}'
+              f' (adapted - pre-update)', flush=True)
 
         base_lr = model.inner_learning_rate
         if args.inner_lrs:
@@ -147,14 +205,35 @@ def main():
                 eval_mode(env, policy, model, f'adapted_window{w}', w, seeds,
                           args.num_rollouts, args.max_path_length, results)
     else:
-        # non-GrBAL snapshots: MB-MPC is truly non-adaptive; ReBAL's
-        # recurrent hidden state IS its adaptation mechanism and is
-        # always-on inside the rollout — label accordingly
         from learning_to_adapt_tpu.models.rnn import RNNDynamicsModel
-        label = ('rebal' if isinstance(model, RNNDynamicsModel)
-                 else 'mb_mpc')
-        eval_mode(env, policy, model, label, None, seeds,
-                  args.num_rollouts, args.max_path_length, results)
+        if isinstance(model, RNNDynamicsModel):
+            # ReBAL: the hidden-state update by each real transition IS the
+            # adaptation mechanism (reference rnn_mpc_controller.py:63) —
+            # isolate it with within-model ablations
+            full = eval_mode(env, policy, model, 'rebal', None, seeds,
+                             args.num_rollouts, args.max_path_length,
+                             results)
+            if not args.skip_ablations:
+                zero = eval_mode(env, policy, model, 'rebal_hidden_zero',
+                                 None, seeds, args.num_rollouts,
+                                 args.max_path_length, results,
+                                 ablate_hidden='zero')
+                frozen = eval_mode(env, policy, model, 'rebal_hidden_frozen',
+                                   None, seeds, args.num_rollouts,
+                                   args.max_path_length, results,
+                                   ablate_hidden='frozen')
+                results['rebal_gap'] = gap_stats(full, zero)
+                results['rebal_gap_frozen'] = gap_stats(full, frozen)
+                print(f'recurrent-adaptation gap (full - hidden_zero): '
+                      f'{results["rebal_gap"]["mean"]:+.1f} +- '
+                      f'{results["rebal_gap"]["sem"]:.1f}; '
+                      f'(full - hidden_frozen): '
+                      f'{results["rebal_gap_frozen"]["mean"]:+.1f} +- '
+                      f'{results["rebal_gap_frozen"]["sem"]:.1f}',
+                      flush=True)
+        else:
+            eval_mode(env, policy, model, 'mb_mpc', None, seeds,
+                      args.num_rollouts, args.max_path_length, results)
 
     tag = args.tag or os.path.basename(os.path.normpath(args.exp_dir))
     out = os.path.join('results', f'meta_test_{tag}.json')

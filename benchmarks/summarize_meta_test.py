@@ -1,48 +1,137 @@
 """Aggregate results/meta_test_*.json into the markdown meta-test table
-for docs/PARITY.md (and a combined-gap estimate pooled across GrBAL
-training seeds)."""
+for docs/PARITY.md, with pooled-gap estimates across snapshots.
+
+Seed-extension pooling: a file tagged `<tag>_ext*` holds EXTRA eval seeds
+for the snapshot already evaluated in `meta_test_<tag>.json` (disjoint
+seed lists); its per-mode stats are pooled with the base file's before any
+table/gap computation, so each snapshot appears once at its full n.
+"""
 import glob
 import json
+import math
+import re
 import sys
 
 import numpy as np
+
+MODES = ('adapted', 'pre-update', 'mb_mpc', 'rebal', 'rebal_hidden_zero',
+         'rebal_hidden_frozen')
+
+#: substrings marking a held-out (out-of-distribution) evaluation tag
+OOD_MARKS = ('leg3', 'act', '_ood', 'steep', 'basin')
+#: substrings marking in-distribution control tags (never pooled as OOD)
+INDIST_MARKS = ('train', 'indist', 'nominal')
 
 
 def fmt(v):
     return f"{v['mean']:.1f} ± {v['sem']:.1f}"
 
 
-def main(pattern='results/meta_test_*.json'):
-    rows = []
-    gaps = []
+def pool_modes(a, b):
+    """Pool two (mean, std, n) summaries of disjoint samples."""
+    n1, n2 = a['n'], b['n']
+    n = n1 + n2
+    mean = (n1 * a['mean'] + n2 * b['mean']) / n
+    msq = (n1 * (a['std'] ** 2 + a['mean'] ** 2) +
+           n2 * (b['std'] ** 2 + b['mean'] ** 2)) / n
+    var = max(msq - mean ** 2, 0.0)
+    return dict(mean=mean, std=math.sqrt(var),
+                sem=math.sqrt(var / n), n=n,
+                per_seed_mean=(a.get('per_seed_mean', []) +
+                               b.get('per_seed_mean', [])))
+
+
+def diff_sem(a, b):
+    return dict(mean=a['mean'] - b['mean'],
+                sem=math.sqrt(a['std'] ** 2 / a['n'] +
+                              b['std'] ** 2 / b['n']))
+
+
+def load_pooled(pattern):
+    """Load result files, folding `_ext` seed-extension files into their
+    base tags; recompute gaps from the pooled modes."""
+    docs = {}
+    exts = []
     for f in sorted(glob.glob(pattern)):
         if 'smoke' in f or '_sweeps' in f:
             # _sweeps files are preserved pass-1 copies of snapshots that
             # were re-evaluated with more seeds — counting both would
             # double-weight those snapshots
             continue
-        d = json.load(open(f))
         tag = f.split('meta_test_')[1][:-5]
-        for mode in ('adapted', 'pre-update', 'mb_mpc'):
-            if mode in d:
-                rows.append((tag, d['train_set'], d['eval_set'], mode,
-                             d[mode]))
-        if 'gap' in d:
-            gaps.append((tag, d['gap']))
+        d = json.load(open(f))
+        m = re.match(r'(.+)_ext\d*$', tag)
+        if m:
+            exts.append((m.group(1), d))
+        else:
+            docs[tag] = d
+    for base_tag, d in exts:
+        if base_tag not in docs:
+            docs[base_tag] = d
+            continue
+        base = docs[base_tag]
+        dup = set(base.get('seeds', [])) & set(d.get('seeds', []))
+        assert not dup, (f'{base_tag}: extension file repeats eval seeds '
+                         f'{sorted(dup)} — pooling would double-count')
+        for mode in MODES:
+            if mode in base and mode in d:
+                base[mode] = pool_modes(base[mode], d[mode])
+        base['seeds'] = list(base.get('seeds', [])) + list(d.get('seeds', []))
+    for d in docs.values():
+        if 'adapted' in d and 'pre-update' in d:
+            d['gap'] = diff_sem(d['adapted'], d['pre-update'])
+        if 'rebal' in d and 'rebal_hidden_zero' in d:
+            d['rebal_gap'] = diff_sem(d['rebal'], d['rebal_hidden_zero'])
+        if 'rebal' in d and 'rebal_hidden_frozen' in d:
+            d['rebal_gap_frozen'] = diff_sem(d['rebal'],
+                                             d['rebal_hidden_frozen'])
+    return docs
+
+
+def is_ood(tag):
+    return (any(m in tag for m in OOD_MARKS) and
+            not any(m in tag for m in INDIST_MARKS))
+
+
+def report_pool(name, entries):
+    if not entries:
+        return
+    means = np.array([g['mean'] for _, g in entries])
+    sems = np.array([g['sem'] for _, g in entries])
+    pooled_sem = np.sqrt(np.sum(sems ** 2)) / len(entries)
+    pooled = means.mean()
+    pos = int((means > 0).sum())
+    sign_p = sum(math.comb(len(means), k)
+                 for k in range(pos, len(means) + 1)) / 2 ** len(means)
+    print(f'\n{name} ({len(entries)} snapshots): '
+          f'{pooled:+.1f} ± {pooled_sem:.1f} '
+          f'({abs(pooled) / pooled_sem:.1f}σ; {pos}/{len(means)} positive, '
+          f'sign test p={sign_p:.3f})')
+
+
+def main(pattern='results/meta_test_*.json'):
+    docs = load_pooled(pattern)
     print('| snapshot | train set | eval set | mode | return |')
     print('|---|---|---|---|---|')
-    for tag, tr, ev, mode, v in rows:
-        print(f'| {tag} | {tr} | {ev} | {mode} | {fmt(v)} |')
+    for tag, d in docs.items():
+        for mode in MODES:
+            if mode in d:
+                print(f'| {tag} | {d["train_set"]} | {d["eval_set"]} | '
+                      f'{mode} | {fmt(d[mode])} (n={d[mode]["n"]}) |')
     print()
-    for tag, g in gaps:
-        print(f'gap {tag}: {g["mean"]:+.1f} ± {g["sem"]:.1f}')
-    ood = [g for t, g in gaps if 'leg3' in t or 'act4' in t]
-    if ood:
-        means = np.array([g['mean'] for g in ood])
-        sems = np.array([g['sem'] for g in ood])
-        pooled_sem = np.sqrt(np.sum(sems ** 2)) / len(ood)
-        print(f'\npooled OOD adaptation gap ({len(ood)} snapshots): '
-              f'{means.mean():+.1f} ± {pooled_sem:.1f}')
+    for key, label in (('gap', 'gap'), ('rebal_gap', 'rebal_gap'),
+                       ('rebal_gap_frozen', 'rebal_gap_frozen')):
+        for tag, d in docs.items():
+            if key in d:
+                print(f'{label} {tag}: {d[key]["mean"]:+.1f} ± '
+                      f'{d[key]["sem"]:.1f}')
+    report_pool('pooled OOD adaptation gap (GrBAL, adapted - pre-update)',
+                [(t, d['gap']) for t, d in docs.items()
+                 if 'gap' in d and is_ood(t)])
+    report_pool('pooled OOD recurrent-adaptation gap (ReBAL, full - '
+                'hidden_zero)',
+                [(t, d['rebal_gap']) for t, d in docs.items()
+                 if 'rebal_gap' in d and is_ood(t)])
 
 
 if __name__ == '__main__':

@@ -61,44 +61,48 @@ def load_experiment(exp_dir, env_override=None):
             inner_learning_rate=config['inner_learning_rate'],
             hidden_sizes=tuple(config['hidden_sizes_model']),
             batch_size=config['adapt_batch_size'])
-        policy_cls = MPCController
         adapt_batch_size = config.get('adapt_batch_size')
-        recurrent = False
     elif 'cell_type' in config:
         model = RNNDynamicsModel(
             'dyn_model', env, hidden_sizes=tuple(config['hidden_sizes']),
             cell_type=config['cell_type'],
             backprop_steps=config['backprop_steps'],
             batch_size=config['batch_size'])
-        policy_cls = RNNMPCController
         adapt_batch_size = None
-        recurrent = True
     else:
         model = MLPDynamicsModel(
             'dyn_model', env, hidden_sizes=tuple(config['hidden_sizes']),
             batch_size=config['batch_size'])
-        policy_cls = MPCController
         adapt_batch_size = None
-        recurrent = False
 
     model.load_state_dict(snapshot['dynamics_model'])
-    policy = policy_cls(
+    policy = build_policy(env, model, config)
+    return env, model, policy, config, adapt_batch_size
+
+
+def build_policy(env, model, config):
+    """Planner for a loaded model against `env` (the meta-test protocol
+    rebinds a trained model's policy to a held-out-task env without
+    re-unpickling the snapshot — benchmarks/meta_test.py)."""
+    policy_cls = (RNNMPCController if isinstance(model, RNNDynamicsModel)
+                  else MPCController)
+    return policy_cls(
         'policy', env, model,
         discount=config.get('discount', 1.0),
         n_candidates=config['n_candidates'],
         horizon=config['horizon'],
         use_cem=config.get('use_cem', False),
         num_cem_iters=config.get('num_cem_iters', 5))
-    return env, model, policy, config, adapt_batch_size
 
 
 def rollout(env, policy, model, max_path_length=1000, num_rollouts=1,
-            adapt_batch_size=None, seed=0):
+            adapt_batch_size=None, seed=0, ablate_hidden=None):
     """Re-run the policy through the fused on-device engine (replaces the
     reference's render loop, samplers/utils.py:4-56)."""
     sampler = Sampler(env=env, policy=policy, num_rollouts=num_rollouts,
                       max_path_length=max_path_length,
-                      adapt_batch_size=adapt_batch_size, seed=seed)
+                      adapt_batch_size=adapt_batch_size, seed=seed,
+                      ablate_hidden=ablate_hidden)
     sampler._episode_idx = 1  # replay with tasks active
     return sampler.obtain_samples()
 

@@ -75,7 +75,28 @@ class HalfCheetahHFieldEnv(HalfCheetahEnv):
 
     name = 'half_cheetah_hfield'
 
-    def __init__(self, task='hfield', reset_every_episode=False, **kw):
+    #: named terrain profiles (reference half_cheetah_hfield_env.py:76-166
+    #: regenerates these same variants by mutating model.hfield_data)
+    NAMED_TERRAINS = ('basin', 'hill', 'gentle', 'steep')
+
+    def __init__(self, task='hfield', reset_every_episode=False,
+                 terrain_set=None, **kw):
+        """terrain_set: named terrain variants the per-episode task
+        distribution draws from (uniformly), e.g. ('gentle', 'hill'). The
+        continuous-OOD meta-test protocol trains on a subset of the named
+        terrains and evaluates on the held-out ones (('steep',),
+        ('basin',)) — the terrain analog of the Ant leg-3 split. None
+        (default) keeps the single-task behavior selected by `task`."""
+        from learning_to_adapt_tpu.utils.serializable import Serializable
+        Serializable.quick_init(self, locals())
+        self.terrain_set = (tuple(str(t) for t in terrain_set)
+                            if terrain_set is not None else None)
+        # validate before super().__init__: obs-shape inference traces
+        # reset() -> sample_task, which indexes the named-profile table
+        if self.terrain_set is not None:
+            assert self.terrain_set and all(
+                t in self.NAMED_TERRAINS for t in self.terrain_set), \
+                f'terrain_set members must be in {self.NAMED_TERRAINS}'
         TPUEnv.__init__(self, task=task,
                         reset_every_episode=reset_every_episode, **kw)
         assert self.task in (None, 'hfield', 'hill', 'basin', 'steep',
@@ -94,7 +115,32 @@ class HalfCheetahHFieldEnv(HalfCheetahEnv):
         row = (row - row.min()) / (row.max() - row.min() + 1e-12)
         return row
 
+    def _named_profile(self, name):
+        """(row, size) for a fixed named terrain variant."""
+        fixed = {
+            'basin': ([-1., 1., 0., 0., 0., 0.], 0.55),
+            'hill': ([1., -1., 0., 0., 0., 0.], 0.6),
+            'gentle': ([1., 1., 1., 1., 1., 1.], 1.0),
+            'steep': ([1., 1., 1., 1., 1., 1.], 4.0),
+        }[name]
+        walls = jnp.asarray([250., 265., 280., 295., 310., 325.],
+                            self.dtype)
+        h = jnp.asarray(fixed[0], self.dtype)
+        row = self._profile(walls, h, 15.0)
+        size = jnp.asarray([50., 5., fixed[1], 0.1], self.dtype)
+        return row, size
+
     def sample_task(self, key, mm, task):
+        if self.terrain_set is not None:
+            # per-episode uniform draw among the named variants: the
+            # profiles are compile-time constants, so the task sample is
+            # one traced index into a stacked table
+            rows, sizes = zip(*(self._named_profile(n)
+                                for n in self.terrain_set))
+            i = jax.random.randint(key, (), 0, len(self.terrain_set))
+            return dataclasses.replace(
+                mm, hfield_row=jnp.stack(rows)[i],
+                hfield_size=jnp.stack(sizes)[i]), task
         if self.task == 'hfield':
             k1, k2, k3 = jax.random.split(key, 3)
             height = jax.random.uniform(k1, (), self.dtype, 0.2, 1.0)
@@ -110,17 +156,7 @@ class HalfCheetahHFieldEnv(HalfCheetahEnv):
             row = self._profile(walls, h, 10.0)
             size = jnp.asarray([50., 5., 0., 0.1], self.dtype).at[2].set(height)
         else:
-            fixed = {
-                'basin': ([-1., 1., 0., 0., 0., 0.], 0.55),
-                'hill': ([1., -1., 0., 0., 0., 0.], 0.6),
-                'gentle': ([1., 1., 1., 1., 1., 1.], 1.0),
-                'steep': ([1., 1., 1., 1., 1., 1.], 4.0),
-            }[self.task]
-            walls = jnp.asarray([250., 265., 280., 295., 310., 325.],
-                                self.dtype)
-            h = jnp.asarray(fixed[0], self.dtype)
-            row = self._profile(walls, h, 15.0)
-            size = jnp.asarray([50., 5., fixed[1], 0.1], self.dtype)
+            row, size = self._named_profile(self.task)
         return dataclasses.replace(mm, hfield_row=row, hfield_size=size), task
 
 
@@ -131,7 +167,18 @@ class HalfCheetahBlocksEnv(HalfCheetahEnv):
 
     name = 'half_cheetah_blocks'
 
-    def __init__(self, task='damping', reset_every_episode=False, **kw):
+    def __init__(self, task='damping', reset_every_episode=False,
+                 damping_range=(0.0, 10.0), **kw):
+        """damping_range: (lo, hi) of the per-episode uniform block-damping
+        draw (reference half_cheetah_blocks_env.py:72-84 hard-codes
+        U(0,10)). The continuous-OOD meta-test protocol trains on the
+        default range and evaluates on an extrapolated one, e.g.
+        (12, 20)."""
+        from learning_to_adapt_tpu.utils.serializable import Serializable
+        Serializable.quick_init(self, locals())
+        self.damping_range = (float(damping_range[0]),
+                              float(damping_range[1]))
+        assert self.damping_range[0] <= self.damping_range[1]
         TPUEnv.__init__(self, task=task,
                         reset_every_episode=reset_every_episode, **kw)
         assert self.task in (None, 'damping')
@@ -145,6 +192,7 @@ class HalfCheetahBlocksEnv(HalfCheetahEnv):
             self.body_com(data, 'torso')])
 
     def sample_task(self, key, mm, task):
-        damp = jax.random.uniform(key, (8,), self.dtype, 0.0, 10.0)
+        lo, hi = self.damping_range
+        damp = jax.random.uniform(key, (8,), self.dtype, lo, hi)
         return dataclasses.replace(
             mm, dof_damping=mm.dof_damping.at[:8].set(damp)), task

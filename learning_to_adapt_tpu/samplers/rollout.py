@@ -42,7 +42,8 @@ def _segment_len(t_len, target=125):
 
 def make_rollout_fn(env, policy, dynamics_model, num_rollouts,
                     max_path_length, adapt_batch_size=None, random=False,
-                    segment_len=None, mesh=None):
+                    segment_len=None, mesh=None, ablate_hidden=None,
+                    ablate_warmup=16):
     """Builds the rollout program.
 
     env: NormalizedEnv; policy: MPCController/RNNMPCController.
@@ -53,6 +54,16 @@ def make_rollout_fn(env, policy, dynamics_model, num_rollouts,
     constraint on the reset states that GSPMD propagates through the whole
     segment program — collectives only where physics/planner reductions
     need them, i.e. nowhere).
+
+    ablate_hidden (recurrent models only) isolates ReBAL's adaptation
+    mechanism — the hidden-state update by each real transition (reference
+    rnn_mpc_controller.py:63) — for within-model ablations, the recurrent
+    analog of GrBAL's adapted/pre-update split:
+      'zero'    the model plans from the initial (zero) hidden state every
+                step: recurrent adaptation removed entirely
+      'frozen'  the hidden state advances normally for `ablate_warmup`
+                steps (matched to GrBAL's adapt_batch_size window), then
+                stays frozen for the rest of the path
     """
     m = num_rollouts
     t_len = max_path_length
@@ -65,6 +76,9 @@ def make_rollout_fn(env, policy, dynamics_model, num_rollouts,
     is_meta = isinstance(dynamics_model, MetaMLPDynamicsModel)
     is_rnn = isinstance(dynamics_model, RNNDynamicsModel)
     a_bs = adapt_batch_size
+    assert ablate_hidden in (None, 'zero', 'frozen')
+    assert not (ablate_hidden and not is_rnn), \
+        'ablate_hidden applies to recurrent models only'
 
     def init_carry(key, episode_idx):
         k_reset, k_run = jax.random.split(key)
@@ -91,9 +105,17 @@ def make_rollout_fn(env, policy, dynamics_model, num_rollouts,
         if is_rnn:
             def predict_h(o, a, h):
                 return dynamics_model.predict_fn(params, norm, o, a, h)
-            actions, hidden = policy.plan_fn_recurrent(
-                predict_h, carry_obs, hidden, k)
-            return actions, hidden
+            h_in = (dynamics_model.get_initial_hidden(m)
+                    if ablate_hidden == 'zero' else hidden)
+            actions, h_new = policy.plan_fn_recurrent(
+                predict_h, carry_obs, h_in, k)
+            if ablate_hidden == 'zero':
+                h_new = hidden  # carry untouched (never read again)
+            elif ablate_hidden == 'frozen':
+                h_new = jax.tree.map(
+                    lambda n_, o_: jnp.where(t < ablate_warmup, n_, o_),
+                    h_new, hidden)
+            return actions, h_new
 
         if is_meta and a_bs is not None:
             h_obs, h_act = hist

@@ -512,7 +512,10 @@ void hfield_sphere(const Vec3& hpos, const double* hsize, const double* hrow,
   double dx_cell = 2 * sx / (ncol - 1);
   double u = (c.x - hpos.x + sx) / (2 * sx) * (ncol - 1);
   long i_c = (long)std::floor(u);
-  long w = 2 * HF_WINDOW + 1;
+  // clamp the window to the grid: for ncol < 2*HF_WINDOW+1 the previous
+  // `ncol - w` went negative and start could index before hrow (advisor
+  // round-4 finding; latent with the shipped assets, ncol 41/500)
+  long w = std::min(2 * HF_WINDOW + 1, ncol);
   long start = std::min(std::max(i_c - HF_WINDOW, 0L), ncol - w);
   // local surface sample (sign test + degenerate-normal fallback),
   // matching collision.py _hfield_surface exactly

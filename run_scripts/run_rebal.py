@@ -17,7 +17,8 @@ from learning_to_adapt_tpu.samplers import (  # noqa: E402
     ModelSampleProcessor, Sampler)
 from learning_to_adapt_tpu.trainers import Trainer  # noqa: E402
 from learning_to_adapt_tpu.utils import logging as logger  # noqa: E402
-from learning_to_adapt_tpu.utils.config import ClassEncoder  # noqa: E402
+from learning_to_adapt_tpu.utils.config import (  # noqa: E402
+    ClassEncoder, check_resume_config)
 from learning_to_adapt_tpu.utils.jax_cache import (  # noqa: E402
     enable_persistent_cache)
 
@@ -32,6 +33,11 @@ def run_experiment(config):
     enable_persistent_cache()
     exp_dir = os.path.join(os.getcwd(), 'data', EXP_NAME,
                            config.get('exp_name', ''))
+    if config.get('resume'):
+        # refuse to resume under a mismatched task distribution
+        # (would contaminate the holdout split and clobber the
+        # recorded config)
+        check_resume_config(exp_dir, config)
     logger.configure(dir=exp_dir, format_strs=['stdout', 'log', 'csv'],
                      snapshot_mode='last')
     json.dump(config, open(os.path.join(exp_dir, 'params.json'), 'w'),
@@ -40,6 +46,10 @@ def run_experiment(config):
     env_kw = {}
     if config.get('cripple_set'):
         env_kw['cripple_set'] = tuple(config['cripple_set'])
+    if config.get('terrain_set'):
+        env_kw['terrain_set'] = tuple(config['terrain_set'])
+    if config.get('damping_range'):
+        env_kw['damping_range'] = tuple(config['damping_range'])
     env = normalize(config['env'](reset_every_episode=True,
                                   task=config['task'], **env_kw))
 
@@ -155,6 +165,13 @@ if __name__ == '__main__':
                    help='comma-separated leg/actuator ids the cripple task '
                         'distribution draws from (meta-test holdout '
                         'protocol), e.g. "1,2,3,5"')
+    p.add_argument('--terrain_set', type=str, default=None,
+                   help='comma-separated named terrain variants the hfield '
+                        'task distribution draws from (continuous-OOD '
+                        'holdout protocol), e.g. "gentle,hill"')
+    p.add_argument('--damping_range', type=str, default=None,
+                   help='lo:hi uniform block-damping range for the blocks '
+                        'damping task (default 0:10, the reference range)')
     args = p.parse_args()
     if args.env:
         config['env'] = ENVS[args.env]
@@ -163,6 +180,11 @@ if __name__ == '__main__':
     if args.cripple_set:
         config['cripple_set'] = tuple(
             int(x) for x in args.cripple_set.split(','))
+    if args.terrain_set:
+        config['terrain_set'] = tuple(args.terrain_set.split(','))
+    if args.damping_range:
+        config['damping_range'] = tuple(
+            float(x) for x in args.damping_range.split(':'))
     config['resume'] = args.resume
     config['seed'] = args.seed
     config['profile'] = args.profile
