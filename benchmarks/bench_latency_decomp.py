@@ -1,14 +1,24 @@
-"""Latency decomposition of the canonical GrBAL sampling step (5 envs,
-500 candidates, horizon 10, (512,512,512) meta model, per-step
-adaptation): time the fused rollout in three modes and difference them.
+"""Latency decomposition of a sampling step: time the fused rollout in
+stacked modes and difference them.
 
   random            physics only (uniform actions, no model)
   planned           physics + planner (pre-update model, no adapt)
-  planned + adapt   the full canonical pipeline
+  planned + adapt   + per-step adaptation (canonical GrBAL shape only)
 
 The differences attribute wall-clock per env step to physics / planner /
 adaptation, guiding where the next latency optimization should go.
+
+Shapes:
+  canonical   5 envs x 500 candidates x horizon 10, (512,512,512) meta
+              model with per-step adaptation — the latency-bound regime
+              the actual experiments run (DESIGN.md section 1's 22.5/35.7/
+              5.1 us decomposition)
+  saturated   512 envs x 128 candidates x horizon 10, (512,512) MLP —
+              the throughput-bound headline shape (VERDICT round-4 weak
+              #4: explain where the non-planner time goes at the shape
+              whose MFU is quoted)
 """
+import argparse
 import os
 import sys
 import time
@@ -20,13 +30,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
 
 from learning_to_adapt_tpu.envs import HalfCheetahEnv, normalize  # noqa: E402
-from learning_to_adapt_tpu.models import MetaMLPDynamicsModel  # noqa: E402
+from learning_to_adapt_tpu.models import (  # noqa: E402
+    MetaMLPDynamicsModel, MLPDynamicsModel)
 from learning_to_adapt_tpu.policies import MPCController  # noqa: E402
 from learning_to_adapt_tpu.samplers.rollout import make_rollout_fn  # noqa: E402
 from learning_to_adapt_tpu.utils.jax_cache import (  # noqa: E402
     enable_persistent_cache)
-
-N_ENVS, PATH, N_CAND, HORIZON = 5, 1000, 500, 10
 
 
 def timed(rollout, model, n, key):
@@ -44,32 +53,62 @@ def timed(rollout, model, n, key):
     return min(ts)
 
 
-def main():
-    enable_persistent_cache()
-    env = normalize(HalfCheetahEnv(task=None, reset_every_episode=True))
-    model = MetaMLPDynamicsModel('dyn', env, meta_batch_size=10,
-                                 hidden_sizes=(512, 512, 512), batch_size=16)
-    policy = MPCController('policy', env, model, n_candidates=N_CAND,
-                           horizon=HORIZON)
-    key = jax.random.PRNGKey(0)
-
+def decompose(env, model, policy, n_envs, path, adapt_bs, n_timed=4):
     modes = {
-        'random': make_rollout_fn(env, policy, model, N_ENVS, PATH,
+        'random': make_rollout_fn(env, policy, model, n_envs, path,
                                   random=True),
-        'planned': make_rollout_fn(env, policy, model, N_ENVS, PATH),
-        'planned+adapt': make_rollout_fn(env, policy, model, N_ENVS, PATH,
-                                         adapt_batch_size=16),
+        'planned': make_rollout_fn(env, policy, model, n_envs, path),
     }
-    t = {name: timed(fn, model, 4, key) for name, fn in modes.items()}
-    steps = N_ENVS * PATH
+    if adapt_bs:
+        modes['planned+adapt'] = make_rollout_fn(
+            env, policy, model, n_envs, path, adapt_batch_size=adapt_bs)
+    key = jax.random.PRNGKey(0)
+    t = {name: timed(fn, model, n_timed, key) for name, fn in modes.items()}
+    steps = n_envs * path
     us = {k: v / steps * 1e6 for k, v in t.items()}
-    print(f'per env-step (us): physics={us["random"]:.1f} '
-          f'+planner={us["planned"] - us["random"]:.1f} '
-          f'+adapt={us["planned+adapt"] - us["planned"]:.1f} '
-          f'total={us["planned+adapt"]:.1f}')
+    full = us.get('planned+adapt', us['planned'])
+    line = (f'per env-step (us): physics={us["random"]:.2f} '
+            f'+planner={us["planned"] - us["random"]:.2f}')
+    if adapt_bs:
+        line += f' +adapt={us["planned+adapt"] - us["planned"]:.2f}'
+    print(line + f' total={full:.2f}')
+    print(f'physics share of total: '
+          f'{us["random"] / full * 100:.1f}%; planner share: '
+          f'{(us["planned"] - us["random"]) / full * 100:.1f}%')
     for k in modes:
         print(f'{k}: {t[k] * 1e3:.1f} ms / {steps} steps '
               f'({steps / t[k]:.0f} steps/s)')
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--shape', choices=('canonical', 'saturated'),
+                   default='canonical')
+    p.add_argument('--n_envs', type=int, default=None,
+                   help='override the shape\'s env count (e.g. 256)')
+    args = p.parse_args()
+    enable_persistent_cache()
+
+    if args.shape == 'canonical':
+        n_envs, path, n_cand, horizon = args.n_envs or 5, 1000, 500, 10
+        env = normalize(HalfCheetahEnv(task=None, reset_every_episode=True))
+        model = MetaMLPDynamicsModel('dyn', env, meta_batch_size=10,
+                                     hidden_sizes=(512, 512, 512),
+                                     batch_size=16)
+        adapt_bs = 16
+    else:
+        # exactly bench.py::bench_saturated's workload
+        n_envs, path, n_cand, horizon = args.n_envs or 512, 64, 128, 10
+        env = normalize(HalfCheetahEnv(task='cripple',
+                                       reset_every_episode=True))
+        model = MLPDynamicsModel('dyn', env, hidden_sizes=(512, 512),
+                                 batch_size=128)
+        adapt_bs = None
+    policy = MPCController('policy', env, model, n_candidates=n_cand,
+                           horizon=horizon)
+    print(f'shape={args.shape}: {n_envs} envs x {n_cand} candidates x '
+          f'horizon {horizon}, path {path}')
+    decompose(env, model, policy, n_envs, path, adapt_bs)
 
 
 if __name__ == '__main__':

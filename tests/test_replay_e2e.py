@@ -89,6 +89,19 @@ def test_train_snapshot_replay_render_profile(tmp_path):
     out = npz.replace('.npz', '.png')
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
+    # --- interactive viewer export on the same trajectory ---
+    viewer = _load_module('tools/interactive_viewer.py', 'interactive_viewer')
+    html = viewer.export_html(npz, 'half_cheetah', stride=5)
+    assert os.path.exists(html)
+    page = open(html).read()
+    import re
+    payload = json.loads(re.search(r'const D = (\{.*?\});\n', page,
+                                   re.S).group(1))
+    assert len(payload['frames']) == len(payload['rewards']) == 4  # 20/5
+    assert payload['frames'][0]['s'], 'no body segments serialized'
+    for marker in ('requestAnimationFrame', 'onwheel', 'follow'):
+        assert marker in page, f'viewer HTML missing {marker} control'
+
 
 def jax_leaves_sum(tree):
     import jax
