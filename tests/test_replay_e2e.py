@@ -241,3 +241,52 @@ def test_meta_test_pipeline_on_holdout(tmp_path):
                                    adapt_batch_size=bs, seed=0)
         assert paths['rewards'].shape == (2, 16)
         assert np.isfinite(paths['rewards']).all()
+
+
+def test_meta_test_pipeline_on_terrain_holdout(tmp_path):
+    """The continuous-OOD meta-test path on CPU (round 5): train a tiny
+    GrBAL on hfield terrain_set {gentle,hill}, snapshot, rebuild on the
+    HELD-OUT terrain via meta_test.resolve_eval_env + build_policy (the
+    single-load protocol), and roll out adapted vs pre-update."""
+    from learning_to_adapt_tpu.envs import HalfCheetahHFieldEnv
+    from learning_to_adapt_tpu.models import MetaMLPDynamicsModel as MM
+
+    exp_dir = str(tmp_path / 'exp')
+    logger.configure(dir=exp_dir, format_strs=['csv'], snapshot_mode='last')
+    config = dict(n_candidates=8, horizon=3, meta_batch_size=4,
+                  inner_learning_rate=0.001, adapt_batch_size=4,
+                  hidden_sizes_model=[32], discount=1.0, use_cem=False,
+                  task='hfield', terrain_set=['gentle', 'hill'])
+    with open(os.path.join(exp_dir, 'params.json'), 'w') as f:
+        json.dump(config, f)
+
+    env = normalize(HalfCheetahHFieldEnv(task='hfield',
+                                         reset_every_episode=True,
+                                         terrain_set=('gentle', 'hill')))
+    model = MM('dyn_model', env, hidden_sizes=(32,), meta_batch_size=4,
+               batch_size=4)
+    policy = MPCController('policy', env, model, n_candidates=8, horizon=3)
+    sampler = Sampler(env=env, policy=policy, num_rollouts=2,
+                      max_path_length=24, adapt_batch_size=4)
+    trainer = Trainer(env=env, policy=policy, dynamics_model=model,
+                      sampler=sampler,
+                      sample_processor=ModelSampleProcessor(recurrent=True),
+                      n_itr=2, initial_random_samples=True,
+                      dynamics_model_max_epochs=2)
+    trainer.train()
+
+    sim_policy = _load_module('experiment_utils/sim_policy.py', 'sim_policy')
+    meta_test = _load_module('benchmarks/meta_test.py', 'meta_test_e2e')
+    env1, model1, _, cfg1, adapt_bs = sim_policy.load_experiment(exp_dir)
+    base = env1.wrapped_env
+    assert base.terrain_set == ('gentle', 'hill')
+    eval_env, train_set, eval_set = meta_test.resolve_eval_env(base, 'steep')
+    assert train_set == ('gentle', 'hill') and eval_set == ('steep',)
+    policy1 = sim_policy.build_policy(eval_env, model1, cfg1)
+    assert adapt_bs == 4
+    for bs in (adapt_bs, None):  # adapted vs pre-update on held-out terrain
+        paths = sim_policy.rollout(eval_env, policy1, model1,
+                                   max_path_length=16, num_rollouts=2,
+                                   adapt_batch_size=bs, seed=0)
+        assert paths['rewards'].shape == (2, 16)
+        assert np.isfinite(paths['rewards']).all()
