@@ -52,7 +52,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 from experiment_utils.sim_policy import (  # noqa: E402
     build_policy, load_experiment, rollout)
 from learning_to_adapt_tpu.envs import (  # noqa: E402
-    HalfCheetahBlocksEnv, HalfCheetahHFieldEnv, normalize)
+    Arm7DofEnv, HalfCheetahBlocksEnv, HalfCheetahHFieldEnv, normalize)
 from learning_to_adapt_tpu.utils.serializable import Serializable  # noqa: E402
 
 TERRAINS = HalfCheetahHFieldEnv.NAMED_TERRAINS
@@ -103,17 +103,23 @@ def resolve_eval_env(base, eval_spec):
                   'holdout evaluation', flush=True)
         eval_env = normalize(Serializable.clone(base, terrain_set=eval_set))
     elif len(toks) == 1 and ':' in toks[0]:
-        assert isinstance(base, HalfCheetahBlocksEnv), \
-            f'damping-range eval set on a {type(base).__name__} snapshot'
+        # "lo:hi" = a continuous range holdout; the range parameter it
+        # overrides depends on the snapshot's task kind
         lo, hi = (float(x) for x in toks[0].split(':'))
-        train_set = tuple(base.damping_range)
+        if isinstance(base, HalfCheetahBlocksEnv):
+            attr = 'damping_range'
+        else:
+            assert isinstance(base, Arm7DofEnv) and base.task == 'force', \
+                f'range eval set on a {type(base).__name__} snapshot ' \
+                f'(task={base.task}) — supported: blocks damping, arm force'
+            attr = 'force_range'
+        train_set = tuple(getattr(base, attr))
         eval_set = (lo, hi)
         if lo < train_set[1] and hi > train_set[0]:
-            print(f'WARNING: eval damping range {eval_set} overlaps train '
+            print(f'WARNING: eval {attr} {eval_set} overlaps train '
                   f'range {train_set} — not a holdout evaluation',
                   flush=True)
-        eval_env = normalize(Serializable.clone(base,
-                                                damping_range=(lo, hi)))
+        eval_env = normalize(Serializable.clone(base, **{attr: (lo, hi)}))
     else:
         assert base.task == 'cripple', (
             f'integer eval sets are the cripple-task protocol, snapshot '

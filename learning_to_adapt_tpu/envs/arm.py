@@ -19,9 +19,16 @@ class Arm7DofEnv(TPUEnv):
     name = 'arm_7dof'
 
     def __init__(self, task='force', reset_every_episode=False,
-                 fixed_goal=False, **kw):
+                 fixed_goal=False, force_range=(0.1, 2.0), **kw):
+        """force_range: (lo, hi) of the per-episode uniform draw of the
+        downward pseudo-gravity g on the object for the 'force' task
+        (reference arm_7dof_env.py:124-130 hard-codes U(0.1, 2)). The
+        continuous-OOD meta-test protocol trains on the default range and
+        evaluates on an extrapolated one, e.g. (3, 6)."""
         from learning_to_adapt_tpu.utils.serializable import Serializable
         Serializable.quick_init(self, locals())
+        self.force_range = (float(force_range[0]), float(force_range[1]))
+        assert self.force_range[0] <= self.force_range[1]
         super().__init__(task=task, reset_every_episode=reset_every_episode,
                          **kw)
         assert self.task in (None, 'cripple', 'damping', 'mass', 'force')
@@ -95,8 +102,9 @@ class Arm7DofEnv(TPUEnv):
                 jnp.asarray(self.model.body_mass0[obj], self.dtype) * mult)
             return dataclasses.replace(mm, body_mass=mass), task
         if self.task == 'force':
-            # downward force -m*g on the object, g ~ U(.1, 2)
-            g = jax.random.uniform(key, (), self.dtype, 0.1, 2.0)
+            # downward force -m*g on the object, g ~ U(force_range)
+            # (reference default U(.1, 2))
+            g = jax.random.uniform(key, (), self.dtype, *self.force_range)
             xfrc = jnp.zeros_like(mm.xfrc_applied)
             xfrc = xfrc.at[obj, 2].set(-mm.body_mass[obj] * g)
             return dataclasses.replace(mm, xfrc_applied=xfrc), task

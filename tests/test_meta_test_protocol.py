@@ -112,10 +112,21 @@ class TestResolveEvalEnv:
         assert tr == (0.0, 10.0) and es == (12.0, 20.0)
         assert ev.wrapped_env.damping_range == (12.0, 20.0)
 
+    def test_arm_force_span(self, meta_test):
+        from learning_to_adapt_tpu.envs import Arm7DofEnv
+        base = Arm7DofEnv(task='force')
+        ev, tr, es = meta_test.resolve_eval_env(base, '3:6')
+        assert tr == (0.1, 2.0) and es == (3.0, 6.0)
+        assert ev.wrapped_env.force_range == (3.0, 6.0)
+
     def test_kind_mismatch_raises(self, meta_test):
         base = HalfCheetahEnv(task='cripple')
         with pytest.raises(AssertionError):
             meta_test.resolve_eval_env(base, 'steep')
+        from learning_to_adapt_tpu.envs import Arm7DofEnv
+        with pytest.raises(AssertionError):
+            # range syntax on an arm snapshot whose task is not 'force'
+            meta_test.resolve_eval_env(Arm7DofEnv(task='mass'), '3:6')
 
 
 class TestRebalHiddenAblation:
