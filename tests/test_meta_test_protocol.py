@@ -164,6 +164,69 @@ class TestRebalHiddenAblation:
             make_rollout_fn(env, policy, model, 2, 8, ablate_hidden='zero')
 
 
+class TestSummaryPooling:
+    """benchmarks/summarize_meta_test.py seed-extension pooling must be
+    exact: pooling two disjoint halves of one sample reproduces the whole
+    sample's mean/std/sem."""
+
+    @pytest.fixture(scope='class')
+    def sm(self):
+        return _load_module('benchmarks/summarize_meta_test.py',
+                            'summarize_meta_test_mod')
+
+    def test_pool_modes_exact(self, sm):
+        rng = np.random.RandomState(0)
+        x = rng.randn(90) * 25 + 100
+        def summ(v):
+            return dict(mean=float(v.mean()), std=float(v.std()),
+                        n=len(v), per_seed_mean=[])
+        p = sm.pool_modes(summ(x[:30]), summ(x[30:]))
+        assert abs(p['mean'] - x.mean()) < 1e-8
+        assert abs(p['std'] - x.std()) < 1e-8
+        assert abs(p['sem'] - x.std() / np.sqrt(90)) < 1e-8
+        assert p['n'] == 90
+
+    def test_ext_files_fold_into_base(self, sm, tmp_path):
+        import json as js
+        rng = np.random.RandomState(1)
+        a = rng.randn(30) + 50
+        b = rng.randn(60) + 55
+        both = np.concatenate([a, b])
+        def doc(v, seeds, pre):
+            return dict(train_set=[1, 2], eval_set=[3], seeds=seeds,
+                        adapted=dict(mean=float(v.mean()),
+                                     std=float(v.std()), n=len(v),
+                                     per_seed_mean=[]),
+                        **{'pre-update': dict(mean=float(pre.mean()),
+                                              std=float(pre.std()),
+                                              n=len(pre),
+                                              per_seed_mean=[])})
+        pre_a, pre_b = a - 10, b - 12
+        (tmp_path / 'meta_test_ant_leg3_x_s0.json').write_text(
+            js.dumps(doc(a, [0, 1], pre_a)))
+        (tmp_path / 'meta_test_ant_leg3_x_s0_ext.json').write_text(
+            js.dumps(doc(b, [2, 3, 4], pre_b)))
+        docs = sm.load_pooled(str(tmp_path / 'meta_test_*.json'))
+        assert list(docs) == ['ant_leg3_x_s0']
+        d = docs['ant_leg3_x_s0']
+        assert d['adapted']['n'] == 90
+        assert abs(d['adapted']['mean'] - both.mean()) < 1e-8
+        # gap recomputed from the POOLED modes
+        pooled_pre = np.concatenate([pre_a, pre_b])
+        assert abs(d['gap']['mean'] - (both.mean() - pooled_pre.mean())) \
+            < 1e-8
+        assert d['seeds'] == [0, 1, 2, 3, 4]
+
+    def test_repeated_seeds_refused(self, sm, tmp_path):
+        import json as js
+        base = dict(train_set=[1], eval_set=[2], seeds=[0, 1],
+                    adapted=dict(mean=0.0, std=1.0, n=10, per_seed_mean=[]))
+        (tmp_path / 'meta_test_t_s0.json').write_text(js.dumps(base))
+        (tmp_path / 'meta_test_t_s0_ext.json').write_text(js.dumps(base))
+        with pytest.raises(AssertionError, match='repeats eval seeds'):
+            sm.load_pooled(str(tmp_path / 'meta_test_*.json'))
+
+
 class TestResumeGuard:
     def _save(self, tmp_path, cfg):
         with open(os.path.join(tmp_path, 'params.json'), 'w') as f:
