@@ -59,13 +59,15 @@ TERRAINS = HalfCheetahHFieldEnv.NAMED_TERRAINS
 
 
 def eval_mode(env, policy, model, label, adapt_bs, seeds, num_rollouts,
-              max_path_length, results, ablate_hidden=None):
+              max_path_length, results, ablate_hidden=None,
+              ablate_warmup=16):
     rets = []
     per_seed = []
     for seed in seeds:
         paths = rollout(env, policy, model, max_path_length=max_path_length,
                         num_rollouts=num_rollouts, adapt_batch_size=adapt_bs,
-                        seed=seed, ablate_hidden=ablate_hidden)
+                        seed=seed, ablate_hidden=ablate_hidden,
+                        ablate_warmup=ablate_warmup)
         r = paths['rewards'].sum(axis=1)
         per_seed.append(float(r.mean()))
         rets.extend(r.tolist())
@@ -85,6 +87,13 @@ def gap_stats(a, b):
                 sem=float(np.sqrt(a.var() / a.size + b.var() / b.size)))
 
 
+def _warn_overlap(kind, train_set, eval_set, overlapping):
+    if overlapping:
+        print(f'WARNING: eval {kind} {eval_set} overlaps train '
+              f'distribution {train_set} — not a holdout evaluation',
+              flush=True)
+
+
 def resolve_eval_env(base, eval_spec):
     """Clone the train env onto the held-out task distribution.
 
@@ -96,11 +105,8 @@ def resolve_eval_env(base, eval_spec):
             f'terrain eval set on a {type(base).__name__} snapshot'
         train_set = tuple(base.terrain_set or (base.task,))
         eval_set = tuple(toks)
-        overlap = set(train_set) & set(eval_set)
-        if overlap:
-            print(f'WARNING: eval terrains {eval_set} overlap train '
-                  f'distribution {train_set} ({sorted(overlap)}) — not a '
-                  'holdout evaluation', flush=True)
+        _warn_overlap('terrains', train_set, eval_set,
+                      set(train_set) & set(eval_set))
         eval_env = normalize(Serializable.clone(base, terrain_set=eval_set))
     elif len(toks) == 1 and ':' in toks[0]:
         # "lo:hi" = a continuous range holdout; the range parameter it
@@ -115,10 +121,8 @@ def resolve_eval_env(base, eval_spec):
             attr = 'force_range'
         train_set = tuple(getattr(base, attr))
         eval_set = (lo, hi)
-        if lo < train_set[1] and hi > train_set[0]:
-            print(f'WARNING: eval {attr} {eval_set} overlaps train '
-                  f'range {train_set} — not a holdout evaluation',
-                  flush=True)
+        _warn_overlap(attr, train_set, eval_set,
+                      lo < train_set[1] and hi > train_set[0])
         eval_env = normalize(Serializable.clone(base, **{attr: (lo, hi)}))
     else:
         assert base.task == 'cripple', (
@@ -126,11 +130,8 @@ def resolve_eval_env(base, eval_spec):
             f'has task={base.task}')
         eval_set = tuple(int(x) for x in toks)
         train_set = tuple(base.cripple_set)
-        overlap = set(train_set) & set(eval_set)
-        if overlap:
-            print(f'WARNING: eval set {eval_set} overlaps train '
-                  f'distribution {train_set} ({sorted(overlap)}) — not a '
-                  'holdout evaluation', flush=True)
+        _warn_overlap('set', train_set, eval_set,
+                      set(train_set) & set(eval_set))
         eval_env = normalize(Serializable.clone(base, cripple_set=eval_set))
     return eval_env, train_set, eval_set
 
@@ -157,6 +158,11 @@ def main():
     p.add_argument('--skip_ablations', action='store_true',
                    help='for recurrent snapshots, evaluate only the full '
                         'recurrent mode (no hidden-state ablations)')
+    p.add_argument('--ablate_warmup', type=int, default=16,
+                   help='warmup steps before the frozen-hidden ablation '
+                        'stops updating (match to the GrBAL comparison '
+                        'window; default 16 = the canonical '
+                        'adapt_batch_size)')
     args = p.parse_args()
 
     seeds = [int(s) for s in args.seeds.split(',')]
@@ -227,7 +233,8 @@ def main():
                 frozen = eval_mode(env, policy, model, 'rebal_hidden_frozen',
                                    None, seeds, args.num_rollouts,
                                    args.max_path_length, results,
-                                   ablate_hidden='frozen')
+                                   ablate_hidden='frozen',
+                                   ablate_warmup=args.ablate_warmup)
                 results['rebal_gap'] = gap_stats(full, zero)
                 results['rebal_gap_frozen'] = gap_stats(full, frozen)
                 print(f'recurrent-adaptation gap (full - hidden_zero): '

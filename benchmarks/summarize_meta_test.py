@@ -17,10 +17,11 @@ import numpy as np
 MODES = ('adapted', 'pre-update', 'mb_mpc', 'rebal', 'rebal_hidden_zero',
          'rebal_hidden_frozen')
 
-#: substrings marking a held-out (out-of-distribution) evaluation tag
-OOD_MARKS = ('leg3', 'act', '_ood', 'steep', 'basin')
-#: substrings marking in-distribution control tags (never pooled as OOD)
-INDIST_MARKS = ('train', 'indist', 'nominal')
+#: protocol fields that must be identical before an _ext file may pool
+#: with its base (disjoint seeds alone are not enough — a different path
+#: length or eval set would silently shift the pooled statistic)
+PROTOCOL_KEYS = ('train_set', 'eval_set', 'num_rollouts',
+                 'max_path_length')
 
 
 def fmt(v):
@@ -73,6 +74,11 @@ def load_pooled(pattern):
         dup = set(base.get('seeds', [])) & set(d.get('seeds', []))
         assert not dup, (f'{base_tag}: extension file repeats eval seeds '
                          f'{sorted(dup)} — pooling would double-count')
+        for k in PROTOCOL_KEYS:
+            assert base.get(k) == d.get(k), (
+                f'{base_tag}: extension file differs on {k} '
+                f'({base.get(k)!r} vs {d.get(k)!r}) — not the same '
+                'protocol; refusing to pool')
         for mode in MODES:
             if mode in base and mode in d:
                 base[mode] = pool_modes(base[mode], d[mode])
@@ -88,9 +94,24 @@ def load_pooled(pattern):
     return docs
 
 
-def is_ood(tag):
-    return (any(m in tag for m in OOD_MARKS) and
-            not any(m in tag for m in INDIST_MARKS))
+def is_ood(doc):
+    """Held-out evaluation = the eval distribution is disjoint from the
+    train distribution, judged from the RESULT DATA (train_set/eval_set),
+    not from tag-name substrings (which silently drift as files
+    accumulate). Continuous ranges (2-tuples of floats) use interval
+    disjointness; discrete sets use set disjointness; fixed-protocol
+    evaluations (train == eval, or task-label strings) are
+    in-distribution."""
+    tr, ev = doc.get('train_set'), doc.get('eval_set')
+    if tr is None or ev is None or tr == ev:
+        return False
+    if isinstance(tr, (list, tuple)) and isinstance(ev, (list, tuple)):
+        both = list(tr) + list(ev)
+        if (len(tr) == len(ev) == 2 and both and
+                all(isinstance(x, float) for x in both)):
+            return ev[0] >= tr[1] or ev[1] <= tr[0]  # disjoint intervals
+        return not (set(map(str, tr)) & set(map(str, ev)))
+    return False
 
 
 def report_pool(name, entries):
@@ -127,11 +148,11 @@ def main(pattern='results/meta_test_*.json'):
                       f'{d[key]["sem"]:.1f}')
     report_pool('pooled OOD adaptation gap (GrBAL, adapted - pre-update)',
                 [(t, d['gap']) for t, d in docs.items()
-                 if 'gap' in d and is_ood(t)])
-    report_pool('pooled OOD recurrent-adaptation gap (ReBAL, full - '
+                 if 'gap' in d and is_ood(d)])
+    report_pool('pooled OOD recurrent-machinery gap (ReBAL, full - '
                 'hidden_zero)',
                 [(t, d['rebal_gap']) for t, d in docs.items()
-                 if 'rebal_gap' in d and is_ood(t)])
+                 if 'rebal_gap' in d and is_ood(d)])
 
 
 if __name__ == '__main__':

@@ -52,8 +52,14 @@ def load_experiment(exp_dir, env_override=None):
         if isinstance(env_name, dict):
             env_name = env_name.get('$class', '').split('.')[-1]
         env_cls = ENV_CLASSES[env_name.split('.')[-1]]
+        # rebuild with the snapshot's recorded task-distribution params —
+        # dropping them here would misstate train_set in the meta-test
+        # protocol (and evaluate a default distribution)
+        env_kw = {k: tuple(config[k]) for k in
+                  ('cripple_set', 'terrain_set', 'damping_range',
+                   'force_range') if config.get(k)}
         env = normalize(env_cls(reset_every_episode=True,
-                                task=config.get('task')))
+                                task=config.get('task'), **env_kw))
 
     if 'meta_batch_size' in config:
         model = MetaMLPDynamicsModel(
@@ -96,13 +102,15 @@ def build_policy(env, model, config):
 
 
 def rollout(env, policy, model, max_path_length=1000, num_rollouts=1,
-            adapt_batch_size=None, seed=0, ablate_hidden=None):
+            adapt_batch_size=None, seed=0, ablate_hidden=None,
+            ablate_warmup=16):
     """Re-run the policy through the fused on-device engine (replaces the
     reference's render loop, samplers/utils.py:4-56)."""
     sampler = Sampler(env=env, policy=policy, num_rollouts=num_rollouts,
                       max_path_length=max_path_length,
                       adapt_batch_size=adapt_batch_size, seed=seed,
-                      ablate_hidden=ablate_hidden)
+                      ablate_hidden=ablate_hidden,
+                      ablate_warmup=ablate_warmup)
     sampler._episode_idx = 1  # replay with tasks active
     return sampler.obtain_samples()
 

@@ -20,7 +20,7 @@ from learning_to_adapt_tpu.utils import logging as logger
 class Sampler:
     def __init__(self, env, policy, num_rollouts, max_path_length,
                  n_parallel=1, adapt_batch_size=None, seed=0, mesh=None,
-                 ablate_hidden=None):
+                 ablate_hidden=None, ablate_warmup=16):
         self.env = env
         self.policy = policy
         self.num_rollouts = num_rollouts
@@ -29,6 +29,7 @@ class Sampler:
         # recurrent-adaptation ablation mode (None | 'zero' | 'frozen'),
         # eval-only — benchmarks/meta_test.py's ReBAL mechanism isolation
         self.ablate_hidden = ablate_hidden
+        self.ablate_warmup = ablate_warmup
         self.total_samples = num_rollouts * max_path_length
         self.total_timesteps_sampled = 0
         self._episode_idx = 0
@@ -49,7 +50,8 @@ class Sampler:
                 self.env, self.policy, self.policy.dynamics_model,
                 self.num_rollouts, self.max_path_length,
                 adapt_batch_size=self.adapt_batch_size, random=random,
-                mesh=self.mesh, ablate_hidden=self.ablate_hidden)
+                mesh=self.mesh, ablate_hidden=self.ablate_hidden,
+                ablate_warmup=self.ablate_warmup)
         return self._fns[random]
 
     def obtain_samples(self, log=False, log_prefix='', random=False):

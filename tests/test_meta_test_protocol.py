@@ -217,6 +217,35 @@ class TestSummaryPooling:
             < 1e-8
         assert d['seeds'] == [0, 1, 2, 3, 4]
 
+    def test_is_ood_is_data_driven(self, sm):
+        ood = sm.is_ood
+        # discrete holdouts: disjoint sets
+        assert ood(dict(train_set=[0, 1, 2], eval_set=[3]))
+        assert ood(dict(train_set=[1, 2, 3, 5], eval_set=[4]))
+        assert not ood(dict(train_set=[0, 1, 2], eval_set=[0, 1, 2]))
+        assert not ood(dict(train_set=[1, 2, 3], eval_set=[3, 4]))
+        # terrain names
+        assert ood(dict(train_set=['gentle', 'hill'], eval_set=['steep']))
+        assert not ood(dict(train_set=['gentle', 'hill'],
+                            eval_set=['hill']))
+        # continuous ranges: interval disjointness, not endpoint sets
+        assert ood(dict(train_set=[0.0, 10.0], eval_set=[12.0, 20.0]))
+        assert not ood(dict(train_set=[0.0, 10.0], eval_set=[5.0, 15.0]))
+        # fixed-protocol evaluations
+        assert not ood(dict(train_set='damping', eval_set='damping'))
+        assert not ood(dict(train_set=None, eval_set=None))
+
+    def test_protocol_mismatch_refused(self, sm, tmp_path):
+        import json as js
+        mk = dict(train_set=[1], eval_set=[2], num_rollouts=5,
+                  max_path_length=1000, seeds=[0],
+                  adapted=dict(mean=0.0, std=1.0, n=5, per_seed_mean=[]))
+        (tmp_path / 'meta_test_p_s0.json').write_text(js.dumps(mk))
+        bad = dict(mk, seeds=[1], max_path_length=500)
+        (tmp_path / 'meta_test_p_s0_ext.json').write_text(js.dumps(bad))
+        with pytest.raises(AssertionError, match='max_path_length'):
+            sm.load_pooled(str(tmp_path / 'meta_test_*.json'))
+
     def test_repeated_seeds_refused(self, sm, tmp_path):
         import json as js
         base = dict(train_set=[1], eval_set=[2], seeds=[0, 1],

@@ -58,8 +58,9 @@ const label = document.getElementById('label');
 const playBtn = document.getElementById('play');
 let t = 0, playing = false, scale = 110, panX = 0, panY = 0, last = 0;
 seek.max = D.frames.length - 1;
-const cum = []; let acc = 0;
-for (const r of D.rewards) { acc += r; cum.push(acc); }
+const cum = D.cumret;  // exact cumulative return at each sampled frame
+                       // (computed host-side from ALL rewards, not the
+                       // stride-sampled sparkline series)
 function world2px(x, z, camx) {
   return [view.width * 0.35 + (x - camx) * scale + panX,
           view.height * 0.82 - z * scale + panY];
@@ -164,9 +165,12 @@ def export_html(replay_path, env_name, rollout=0, stride=4, out=None,
             b=[[round(float(c[0]), 4), round(float(c[2]), 4),
                 round(float(r), 4)] for c, r in spheres],
             c=round(cam, 4)))
+    cumret = np.cumsum(rewards)
     payload = dict(frames=ser, stride=stride, T=int(len(qpos_seq)),
                    rewards=[round(float(r), 4)
-                            for r in rewards[::stride][:len(ser)]])
+                            for r in rewards[::stride][:len(ser)]],
+                   cumret=[round(float(c), 2)
+                           for c in cumret[::stride][:len(ser)]])
     html = _PAGE % dict(title=f'{env_name} — {os.path.basename(replay_path)}',
                         data=json.dumps(payload))
     out = out or replay_path.replace('.npz', '.html')
