@@ -25,6 +25,14 @@ RUNS = [
      'GrBAL LOO act-3', '#1baf7a'),
     ('data/grbal/cheetah_loo5_r5_s0', 'grbal_cheetah_loo5_tpu_r5',
      'GrBAL LOO act-5', '#8d6cdc'),
+    ('data/grbal/cheetah_loo1_r5_s1', 'grbal_cheetah_loo1_tpu_r5_seed1',
+     'GrBAL LOO act-1 s1', '#7fb2e8'),
+    ('data/grbal/cheetah_loo2_r5_s1', 'grbal_cheetah_loo2_tpu_r5_seed1',
+     'GrBAL LOO act-2 s1', '#f2a488'),
+    ('data/grbal/cheetah_loo3_r5_s1', 'grbal_cheetah_loo3_tpu_r5_seed1',
+     'GrBAL LOO act-3 s1', '#7ed0b0'),
+    ('data/grbal/cheetah_loo5_r5_s1', 'grbal_cheetah_loo5_tpu_r5_seed1',
+     'GrBAL LOO act-5 s1', '#c3b1ee'),
     ('data/grbal/hfield_holdout_r5_s0', 'grbal_hfield_holdout_tpu_r5',
      'GrBAL hfield {gentle,hill} s0', '#2a78d6'),
     ('data/grbal/hfield_holdout_r5_s1', 'grbal_hfield_holdout_tpu_r5_seed1',
@@ -42,7 +50,8 @@ PLOT_TERRAIN = {'GrBAL hfield {gentle,hill} s0',
                 'MB-MPC hfield {gentle,hill} s0',
                 'GrBAL blocks-damping s0', 'GrBAL blocks-damping s1'}
 PLOT_LOO = {'GrBAL LOO act-1', 'GrBAL LOO act-2', 'GrBAL LOO act-3',
-            'GrBAL LOO act-5'}
+            'GrBAL LOO act-5', 'GrBAL LOO act-1 s1', 'GrBAL LOO act-2 s1',
+            'GrBAL LOO act-3 s1', 'GrBAL LOO act-5 s1'}
 
 
 def load_curve(csv_path):
