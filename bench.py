@@ -298,7 +298,7 @@ def _measure_baselines(repeats=BASELINE_REPEATS):
     out = {}
     for label, ds in draws.items():
         if not ds:
-            out[label] = (None, None)
+            out[label] = (None, None, 0)
             continue
         med = float(np.median(ds))
         disp = ((max(ds) - min(ds)) / med * 100.0) if med else None
@@ -306,7 +306,7 @@ def _measure_baselines(repeats=BASELINE_REPEATS):
              'repeats', round(med, 2), 'env-steps/s')
         _aux(f'cpu baseline {label}: repeat dispersion (max-min)/median',
              round(disp, 1), '%')
-        out[label] = (med, disp)
+        out[label] = (med, disp, len(ds))
     return out
 
 
@@ -316,9 +316,10 @@ def main():
     # median of interleaved repeats (capture-robust — see
     # _measure_baselines)
     bases = _measure_baselines()
-    base_canon, _ = bases.get('canonical GrBAL', (None, None))
-    base_sat, disp_sat = bases.get('saturated', (None, None))
-    base_sat512, disp_sat512 = bases.get('saturated-512', (None, None))
+    base_canon, _, _ = bases.get('canonical GrBAL', (None, None, 0))
+    base_sat, disp_sat, n_sat = bases.get('saturated', (None, None, 0))
+    base_sat512, disp_sat512, n_sat512 = bases.get(
+        'saturated-512', (None, None, 0))
     sps_canon = None
     try:
         sps_canon = bench_grbal_canonical()
@@ -349,12 +350,12 @@ def main():
     # shapes, prefer the fastest candidate that HAS a measured baseline —
     # never report the max-throughput shape with a null ratio while
     # another shape had a like-for-like denominator (advisor round-4)
-    candidates = [(sps256, base_sat, disp_sat, 256)]
+    candidates = [(sps256, base_sat, disp_sat, n_sat, 256)]
     if sps512:
-        candidates.append((sps512, base_sat512, disp_sat512, 512))
+        candidates.append((sps512, base_sat512, disp_sat512, n_sat512, 512))
     with_base = [c for c in candidates if c[1]]
-    sps, base, disp, shape = max(with_base or candidates,
-                                 key=lambda c: c[0])
+    sps, base, disp, n_reps, shape = max(with_base or candidates,
+                                         key=lambda c: c[0])
     # never fabricate a denominator: if no shape has a measured baseline,
     # vs_baseline is reported as null rather than against a number from a
     # different workload
@@ -366,11 +367,12 @@ def main():
         'baseline': (round(base, 2) if base else None),
         'baseline_dispersion_pct': (round(disp, 1) if disp is not None
                                     else None),
-        'baseline_repeats': BASELINE_REPEATS,
+        'baseline_repeats': n_reps,
         'baseline_source': (f'measured: reference architecture on this host '
                             f'CPU at the same {shape}-env saturated workload '
-                            f'shapes (median of {BASELINE_REPEATS} '
-                            f'interleaved repeats) ' if base
+                            f'shapes (median of {n_reps} interleaved repeats'
+                            f'{"" if n_reps == BASELINE_REPEATS else f" — {BASELINE_REPEATS - n_reps} of {BASELINE_REPEATS} failed, see stderr"}'
+                            ') ' if base
                             else 'unavailable (baseline measurement failed '
                                  'on this host — see stderr)'),
     }))

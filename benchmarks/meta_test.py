@@ -98,7 +98,9 @@ def resolve_eval_env(base, eval_spec):
     """Clone the train env onto the held-out task distribution.
 
     Dispatches on the eval_spec syntax + snapshot task kind; returns
-    (eval_env, train_set, eval_set)."""
+    (eval_env, train_set, eval_set, set_kind) where set_kind is
+    'discrete' (terrain names / cripple ids: set disjointness decides
+    holdout-ness) or 'range' (continuous lo:hi interval)."""
     toks = [t.strip() for t in eval_spec.split(',')]
     if all(t in TERRAINS for t in toks):
         assert isinstance(base, HalfCheetahHFieldEnv), \
@@ -108,6 +110,7 @@ def resolve_eval_env(base, eval_spec):
         _warn_overlap('terrains', train_set, eval_set,
                       set(train_set) & set(eval_set))
         eval_env = normalize(Serializable.clone(base, terrain_set=eval_set))
+        set_kind = 'discrete'
     elif len(toks) == 1 and ':' in toks[0]:
         # "lo:hi" = a continuous range holdout; the range parameter it
         # overrides depends on the snapshot's task kind
@@ -124,6 +127,7 @@ def resolve_eval_env(base, eval_spec):
         _warn_overlap(attr, train_set, eval_set,
                       lo < train_set[1] and hi > train_set[0])
         eval_env = normalize(Serializable.clone(base, **{attr: (lo, hi)}))
+        set_kind = 'range'
     else:
         assert base.task == 'cripple', (
             f'integer eval sets are the cripple-task protocol, snapshot '
@@ -133,7 +137,8 @@ def resolve_eval_env(base, eval_spec):
         _warn_overlap('set', train_set, eval_set,
                       set(train_set) & set(eval_set))
         eval_env = normalize(Serializable.clone(base, cripple_set=eval_set))
-    return eval_env, train_set, eval_set
+        set_kind = 'discrete'
+    return eval_env, train_set, eval_set, set_kind
 
 
 def main():
@@ -165,6 +170,9 @@ def main():
                         'adapt_batch_size)')
     args = p.parse_args()
 
+    from learning_to_adapt_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     seeds = [int(s) for s in args.seeds.split(',')]
 
     # ONE snapshot load; the eval env (if any) rebinds model + policy
@@ -172,13 +180,15 @@ def main():
     env, model, policy, config, adapt_bs = load_experiment(args.exp_dir)
     base = env.wrapped_env
     if args.eval_set is not None:
-        env, train_set, eval_set = resolve_eval_env(base, args.eval_set)
+        env, train_set, eval_set, set_kind = resolve_eval_env(
+            base, args.eval_set)
         policy = build_policy(env, model, config)
         print(f'{args.exp_dir}: trained on {train_set}, evaluating on '
               f'held-out {eval_set} '
               f'({"GrBAL" if adapt_bs else "non-adaptive/recurrent"})',
               flush=True)
     else:
+        set_kind = 'discrete'
         if base.task == 'cripple':
             train_set = eval_set = tuple(base.cripple_set)
         elif getattr(base, 'terrain_set', None):
@@ -193,7 +203,8 @@ def main():
     results = dict(exp_dir=args.exp_dir, train_set=train_set,
                    eval_set=eval_set, seeds=seeds,
                    num_rollouts=args.num_rollouts,
-                   max_path_length=args.max_path_length)
+                   max_path_length=args.max_path_length,
+                   ablate_warmup=args.ablate_warmup, set_kind=set_kind)
     if adapt_bs:
         adapted = eval_mode(env, policy, model, 'adapted', adapt_bs, seeds,
                             args.num_rollouts, args.max_path_length, results)

@@ -21,7 +21,12 @@ MODES = ('adapted', 'pre-update', 'mb_mpc', 'rebal', 'rebal_hidden_zero',
 #: with its base (disjoint seeds alone are not enough — a different path
 #: length or eval set would silently shift the pooled statistic)
 PROTOCOL_KEYS = ('train_set', 'eval_set', 'num_rollouts',
-                 'max_path_length')
+                 'max_path_length', 'ablate_warmup')
+
+#: defaults for protocol keys absent from older result files, so a
+#: pre-field base file pools with a post-field extension run at the
+#: same (default) protocol but refuses a genuinely different one
+PROTOCOL_DEFAULTS = {'ablate_warmup': 16}
 
 
 def fmt(v):
@@ -75,13 +80,19 @@ def load_pooled(pattern):
         assert not dup, (f'{base_tag}: extension file repeats eval seeds '
                          f'{sorted(dup)} — pooling would double-count')
         for k in PROTOCOL_KEYS:
-            assert base.get(k) == d.get(k), (
+            dflt = PROTOCOL_DEFAULTS.get(k)
+            assert base.get(k, dflt) == d.get(k, dflt), (
                 f'{base_tag}: extension file differs on {k} '
                 f'({base.get(k)!r} vs {d.get(k)!r}) — not the same '
                 'protocol; refusing to pool')
         for mode in MODES:
             if mode in base and mode in d:
                 base[mode] = pool_modes(base[mode], d[mode])
+            elif mode in d:
+                # mode evaluated only in the extension run (e.g.
+                # ablations added after the base pass): carry it at its
+                # own n rather than silently dropping it
+                base[mode] = d[mode]
         base['seeds'] = list(base.get('seeds', [])) + list(d.get('seeds', []))
     for d in docs.values():
         if 'adapted' in d and 'pre-update' in d:
@@ -98,17 +109,26 @@ def is_ood(doc):
     """Held-out evaluation = the eval distribution is disjoint from the
     train distribution, judged from the RESULT DATA (train_set/eval_set),
     not from tag-name substrings (which silently drift as files
-    accumulate). Continuous ranges (2-tuples of floats) use interval
-    disjointness; discrete sets use set disjointness; fixed-protocol
-    evaluations (train == eval, or task-label strings) are
-    in-distribution."""
+    accumulate). Files written since round-5 batch 8 carry an explicit
+    `set_kind` ('range' | 'discrete') from resolve_eval_env; older files
+    fall back to a float-endpoint heuristic (continuous ranges always
+    serialize float endpoints; discrete cripple ids are ints). Ranges use
+    interval disjointness; discrete sets use set disjointness;
+    fixed-protocol evaluations (train == eval, or task-label strings)
+    are in-distribution."""
     tr, ev = doc.get('train_set'), doc.get('eval_set')
     if tr is None or ev is None or tr == ev:
         return False
     if isinstance(tr, (list, tuple)) and isinstance(ev, (list, tuple)):
         both = list(tr) + list(ev)
-        if (len(tr) == len(ev) == 2 and both and
-                all(isinstance(x, float) for x in both)):
+        kind = doc.get('set_kind')
+        if kind is None and len(tr) == len(ev) == 2 and both and any(
+                isinstance(x, float) for x in both):
+            kind = 'range'
+        if kind == 'range':
+            assert all(isinstance(x, (int, float)) and
+                       not isinstance(x, bool) for x in both), (
+                f'range endpoints must be numeric: {tr!r} vs {ev!r}')
             return ev[0] >= tr[1] or ev[1] <= tr[0]  # disjoint intervals
         return not (set(map(str, tr)) & set(map(str, ev)))
     return False

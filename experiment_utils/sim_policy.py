@@ -55,9 +55,8 @@ def load_experiment(exp_dir, env_override=None):
         # rebuild with the snapshot's recorded task-distribution params —
         # dropping them here would misstate train_set in the meta-test
         # protocol (and evaluate a default distribution)
-        env_kw = {k: tuple(config[k]) for k in
-                  ('cripple_set', 'terrain_set', 'damping_range',
-                   'force_range') if config.get(k)}
+        from learning_to_adapt_tpu.utils.config import task_env_kwargs
+        env_kw = task_env_kwargs(config)
         env = normalize(env_cls(reset_every_episode=True,
                                 task=config.get('task'), **env_kw))
 

@@ -10,7 +10,54 @@ import os
 #: on --resume would train on the held-out actuator and clobber the
 #: recorded config; advisor round-4 finding)
 RESUME_IDENTITY_KEYS = ('env', 'task', 'cripple_set', 'terrain_set',
-                        'damping_range', 'seed')
+                        'damping_range', 'force_range', 'seed')
+
+#: config keys that parameterize the training task distribution, with
+#: their CLI parsers — ONE source of truth shared by the run scripts
+#: (flags + env ctor kwargs), load_experiment's env rebuild, and
+#: RESUME_IDENTITY_KEYS above; adding a distribution parameter here
+#: plumbs it everywhere (advisor round-5: the three run scripts carried
+#: diverging copies of these blocks)
+TASK_DISTRIBUTION_KEYS = {
+    'cripple_set': (
+        lambda s: tuple(int(x) for x in s.split(',')),
+        'comma-separated leg/actuator ids the cripple task distribution '
+        'draws from (meta-test holdout protocol), e.g. "1,2,3,5"'),
+    'terrain_set': (
+        lambda s: tuple(s.split(',')),
+        'comma-separated named terrain variants the hfield task '
+        'distribution draws from (continuous-OOD holdout protocol), '
+        'e.g. "gentle,hill"'),
+    'damping_range': (
+        lambda s: tuple(float(x) for x in s.split(':')),
+        'lo:hi uniform block-damping range for the blocks damping task '
+        '(default 0:10, the reference range)'),
+    'force_range': (
+        lambda s: tuple(float(x) for x in s.split(':')),
+        'lo:hi uniform object-force scale range for the arm force task '
+        '(default 0.1:2, the reference range)'),
+}
+
+
+def add_task_distribution_args(parser):
+    """Register the task-distribution CLI flags on an argparse parser."""
+    for key, (_, help_text) in TASK_DISTRIBUTION_KEYS.items():
+        parser.add_argument(f'--{key}', type=str, default=None,
+                            help=help_text)
+
+
+def apply_task_distribution_args(args, config):
+    """Parse any task-distribution flags present on args into config."""
+    for key, (parse, _) in TASK_DISTRIBUTION_KEYS.items():
+        val = getattr(args, key, None)
+        if val:
+            config[key] = parse(val)
+
+
+def task_env_kwargs(config):
+    """Env ctor kwargs for the task-distribution keys set in config."""
+    return {k: tuple(config[k]) for k in TASK_DISTRIBUTION_KEYS
+            if config.get(k)}
 
 
 def _norm_cfg_value(key, v):

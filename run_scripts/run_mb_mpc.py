@@ -17,7 +17,9 @@ from learning_to_adapt_tpu.samplers import (  # noqa: E402
 from learning_to_adapt_tpu.trainers import Trainer  # noqa: E402
 from learning_to_adapt_tpu.utils import logging as logger  # noqa: E402
 from learning_to_adapt_tpu.utils.config import (  # noqa: E402
-    ClassEncoder, check_resume_config)
+    ClassEncoder, add_task_distribution_args,
+    apply_task_distribution_args, check_resume_config,
+    task_env_kwargs)
 from learning_to_adapt_tpu.utils.jax_cache import (  # noqa: E402
     enable_persistent_cache)
 
@@ -42,13 +44,7 @@ def run_experiment(config):
     json.dump(config, open(os.path.join(exp_dir, 'params.json'), 'w'),
               indent=2, sort_keys=True, cls=ClassEncoder)
 
-    env_kw = {}
-    if config.get('cripple_set'):
-        env_kw['cripple_set'] = tuple(config['cripple_set'])
-    if config.get('terrain_set'):
-        env_kw['terrain_set'] = tuple(config['terrain_set'])
-    if config.get('damping_range'):
-        env_kw['damping_range'] = tuple(config['damping_range'])
+    env_kw = task_env_kwargs(config)
     env = normalize(config['env'](reset_every_episode=True,
                                   task=config['task'], **env_kw))
 
@@ -158,30 +154,13 @@ if __name__ == '__main__':
                         '(default HalfCheetahEnv)')
     p.add_argument('--task', type=str, default=None,
                    help="task distribution, e.g. 'cripple'")
-    p.add_argument('--cripple_set', type=str, default=None,
-                   help='comma-separated leg/actuator ids the cripple task '
-                        'distribution draws from (meta-test holdout '
-                        'protocol), e.g. "1,2,3,5"')
-    p.add_argument('--terrain_set', type=str, default=None,
-                   help='comma-separated named terrain variants the hfield '
-                        'task distribution draws from (continuous-OOD '
-                        'holdout protocol), e.g. "gentle,hill"')
-    p.add_argument('--damping_range', type=str, default=None,
-                   help='lo:hi uniform block-damping range for the blocks '
-                        'damping task (default 0:10, the reference range)')
+    add_task_distribution_args(p)
     args = p.parse_args()
     if args.env:
         config['env'] = ENVS[args.env]
     if args.task:
         config['task'] = args.task
-    if args.cripple_set:
-        config['cripple_set'] = tuple(
-            int(x) for x in args.cripple_set.split(','))
-    if args.terrain_set:
-        config['terrain_set'] = tuple(args.terrain_set.split(','))
-    if args.damping_range:
-        config['damping_range'] = tuple(
-            float(x) for x in args.damping_range.split(':'))
+    apply_task_distribution_args(args, config)
     config['resume'] = args.resume
     config['seed'] = args.seed
     config['profile'] = args.profile

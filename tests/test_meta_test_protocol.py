@@ -95,27 +95,31 @@ class TestResolveEvalEnv:
 
     def test_cripple_ids(self, meta_test):
         base = HalfCheetahEnv(task='cripple', cripple_set=(1, 2, 3, 5))
-        ev, tr, es = meta_test.resolve_eval_env(base, '4')
+        ev, tr, es, kind = meta_test.resolve_eval_env(base, '4')
+        assert kind == 'discrete'
         assert tr == (1, 2, 3, 5) and es == (4,)
         assert ev.wrapped_env.cripple_set == (4,)
 
     def test_terrain_names(self, meta_test):
         base = HalfCheetahHFieldEnv(task='hfield',
                                     terrain_set=('gentle', 'hill'))
-        ev, tr, es = meta_test.resolve_eval_env(base, 'steep,basin')
+        ev, tr, es, kind = meta_test.resolve_eval_env(base, 'steep,basin')
+        assert kind == 'discrete'
         assert tr == ('gentle', 'hill') and es == ('steep', 'basin')
         assert ev.wrapped_env.terrain_set == ('steep', 'basin')
 
     def test_damping_span(self, meta_test):
         base = HalfCheetahBlocksEnv(task='damping')
-        ev, tr, es = meta_test.resolve_eval_env(base, '12:20')
+        ev, tr, es, kind = meta_test.resolve_eval_env(base, '12:20')
+        assert kind == 'range'
         assert tr == (0.0, 10.0) and es == (12.0, 20.0)
         assert ev.wrapped_env.damping_range == (12.0, 20.0)
 
     def test_arm_force_span(self, meta_test):
         from learning_to_adapt_tpu.envs import Arm7DofEnv
         base = Arm7DofEnv(task='force')
-        ev, tr, es = meta_test.resolve_eval_env(base, '3:6')
+        ev, tr, es, kind = meta_test.resolve_eval_env(base, '3:6')
+        assert kind == 'range'
         assert tr == (0.1, 2.0) and es == (3.0, 6.0)
         assert ev.wrapped_env.force_range == (3.0, 6.0)
 

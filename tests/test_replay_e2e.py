@@ -280,7 +280,8 @@ def test_meta_test_pipeline_on_terrain_holdout(tmp_path):
     env1, model1, _, cfg1, adapt_bs = sim_policy.load_experiment(exp_dir)
     base = env1.wrapped_env
     assert base.terrain_set == ('gentle', 'hill')
-    eval_env, train_set, eval_set = meta_test.resolve_eval_env(base, 'steep')
+    eval_env, train_set, eval_set, _ = meta_test.resolve_eval_env(
+        base, 'steep')
     assert train_set == ('gentle', 'hill') and eval_set == ('steep',)
     policy1 = sim_policy.build_policy(eval_env, model1, cfg1)
     assert adapt_bs == 4
