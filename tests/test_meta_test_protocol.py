@@ -293,3 +293,45 @@ class TestResumeGuard:
 
     def test_no_saved_config_is_a_noop(self, tmp_path):
         check_resume_config(str(tmp_path), dict(task='cripple'))
+
+    def test_dropped_force_range_raises(self, tmp_path):
+        # force_range is a resume-identity key like the other
+        # task-distribution params (advisor round-5): resuming an arm
+        # force run without the flag must refuse, not continue training
+        # on the default U(0.1,2) distribution
+        self._save(tmp_path, dict(task='force', force_range=[3.0, 6.0],
+                                  seed=0))
+        with pytest.raises(ValueError, match='force_range'):
+            check_resume_config(str(tmp_path), dict(task='force', seed=0))
+
+
+class TestTaskDistributionHelpers:
+    """The shared CLI-flag/env-kwargs plumbing used by all three run
+    scripts, load_experiment, and the resume guard (one source of
+    truth — utils/config.py TASK_DISTRIBUTION_KEYS)."""
+
+    def test_flags_parse_into_config_and_env_kwargs(self):
+        import argparse
+        from learning_to_adapt_tpu.utils.config import (
+            RESUME_IDENTITY_KEYS, TASK_DISTRIBUTION_KEYS,
+            add_task_distribution_args, apply_task_distribution_args,
+            task_env_kwargs)
+        p = argparse.ArgumentParser()
+        add_task_distribution_args(p)
+        args = p.parse_args(['--cripple_set', '1,2,3,5',
+                             '--terrain_set', 'gentle,hill',
+                             '--damping_range', '0:10',
+                             '--force_range', '0.1:2'])
+        config = {}
+        apply_task_distribution_args(args, config)
+        assert config == dict(cripple_set=(1, 2, 3, 5),
+                              terrain_set=('gentle', 'hill'),
+                              damping_range=(0.0, 10.0),
+                              force_range=(0.1, 2.0))
+        assert task_env_kwargs(config) == config
+        # absent flags stay absent (env ctors keep their defaults)
+        config2 = {}
+        apply_task_distribution_args(p.parse_args([]), config2)
+        assert config2 == {} and task_env_kwargs(config2) == {}
+        # every distribution key is resume-guarded
+        assert set(TASK_DISTRIBUTION_KEYS) <= set(RESUME_IDENTITY_KEYS)
