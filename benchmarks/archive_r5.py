@@ -43,6 +43,14 @@ RUNS = [
      'GrBAL blocks-damping s0', '#1baf7a'),
     ('data/grbal/blocks_r5_s1', 'grbal_blocks_tpu_r5_seed1',
      'GrBAL blocks-damping s1', '#7ed0b0'),
+    # batch 8: ant leg leave-one-out (each trained with a different leg
+    # held out of the cripple distribution)
+    ('data/grbal/ant_loo0_r5_s0', 'grbal_ant_loo0_tpu_r5',
+     'GrBAL ant LOO leg-0', '#2a78d6'),
+    ('data/grbal/ant_loo1_r5_s0', 'grbal_ant_loo1_tpu_r5',
+     'GrBAL ant LOO leg-1', '#eb6834'),
+    ('data/grbal/ant_loo2_r5_s0', 'grbal_ant_loo2_tpu_r5',
+     'GrBAL ant LOO leg-2', '#1baf7a'),
 ]
 
 PLOT_TERRAIN = {'GrBAL hfield {gentle,hill} s0',
@@ -52,6 +60,8 @@ PLOT_TERRAIN = {'GrBAL hfield {gentle,hill} s0',
 PLOT_LOO = {'GrBAL LOO act-1', 'GrBAL LOO act-2', 'GrBAL LOO act-3',
             'GrBAL LOO act-5', 'GrBAL LOO act-1 s1', 'GrBAL LOO act-2 s1',
             'GrBAL LOO act-3 s1', 'GrBAL LOO act-5 s1'}
+PLOT_ANT_LOO = {'GrBAL ant LOO leg-0', 'GrBAL ant LOO leg-1',
+                'GrBAL ant LOO leg-2'}
 
 
 def load_curve(csv_path):
@@ -88,7 +98,9 @@ def main():
              '(terrain set {gentle,hill}; blocks damping U(0,10))',
              'results/continuous_ood_r5.png'),
             (PLOT_LOO, 'Round-5 leave-one-out cheetah-cripple training',
-             'results/cheetah_loo_r5.png')):
+             'results/cheetah_loo_r5.png'),
+            (PLOT_ANT_LOO, 'Round-5 leave-one-out ant-cripple training',
+             'results/ant_loo_r5.png')):
         plot = {k: v for k, v in curves.items() if k in plot_set}
         if not plot:
             continue
